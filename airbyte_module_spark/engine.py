@@ -1,0 +1,150 @@
+"""Engine — the user-facing API, semantic parity with the reference's
+HTTP/Flight surface (SURVEY.md §2.10):
+
+| reference entry point                         | Engine equivalent        |
+|-----------------------------------------------|--------------------------|
+| GET /{asset} / Flight do_get (read asset)     | ``Engine.read()``        |
+| Flight do_put write_mode=append (default)     | ``Engine.write(df, "append")``   |
+| Flight do_put write_mode=overwrite            | ``Engine.write(df, "overwrite")``|
+| (no reference analogue — north rule)          | ``Engine.write(df, "upsert")``   |
+| get_flight_info (schema discovery)            | ``Engine.schema()``      |
+| connector read loop                           | ``Engine.replay/tail()`` |
+
+The reference's append/overwrite sync modes (``/root/reference/abm/
+server.py:182-187``) are special cases of the MERGE sink; schema discovery
+(``abm/connector.py:176-180``) becomes a metadata lookup instead of a
+docker round-trip.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_module_spark import model
+from airbyte_module_spark.lake.table import LakeTable
+from airbyte_module_spark.streaming.pipeline import CdcPipeline
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        schema: T.StructType | None = None,
+        key_columns: list[str] | None = None,
+        n_buckets: int = 32,
+        table_mode: str = "mor",
+        **pipeline_opts,
+    ):
+        """``schema``/``key_columns`` configure a fresh table (any asset shape,
+        like the reference's per-asset YAML config at ``abm/config.py:13-18``);
+        defaults give the repo_files CDC table from BASELINE.json input_hint."""
+        self.spark = spark
+        self.table_path = table_path
+        try:
+            self.table = LakeTable.load(spark, table_path)
+        except FileNotFoundError:
+            full_schema = model.table_schema(schema) if schema is not None else None
+            self.table = LakeTable.create(
+                spark,
+                table_path,
+                schema=full_schema,
+                key_columns=key_columns,
+                n_buckets=n_buckets,
+                mode=table_mode,
+            )
+        self.pipeline = CdcPipeline(self.table, **pipeline_opts)
+
+    # -------------------------------------------------------------- querying
+    def read(self) -> DataFrame:
+        """Current winners, metadata columns stripped (reference GET /asset,
+        ``/root/reference/abm/server.py:39-60``)."""
+        return self.table.read()
+
+    def schema(self) -> T.StructType:
+        """User-facing schema (reference get_flight_info discovery,
+        ``/root/reference/abm/server.py:238-256``)."""
+        full = self.table.schema()
+        return T.StructType(
+            [f for f in full.fields if not f.name.startswith(model.META_PREFIX)]
+        )
+
+    def digest(self) -> str:
+        return self.table.digest()
+
+    def lineage(self) -> list[dict]:
+        return self.table.lineage()
+
+    # --------------------------------------------------------------- writing
+    def write(self, df: DataFrame, mode: str = "append") -> int | None:
+        """Write a plain DataFrame of user rows.
+
+        ``append``/``overwrite`` mirror the reference's do_put sync modes
+        (``abm/server.py:182-187``); rows are stamped with an ingest-time
+        cursor exactly like the reference stamps ``emitted_at=now_ms`` on
+        every written record (``abm/server.py:202,209``). ``upsert`` applies
+        LWW on the identity key. All three converge in MERGE — no per-row
+        Python anywhere (contrast ``abm/server.py:206-210``).
+        """
+        if mode == "overwrite":
+            self._truncate()
+        table_cols = {f.name for f in self.table.schema().fields}
+        new_cols = [
+            T.StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in table_cols
+        ]
+        if new_cols:
+            self.table.evolve(new_cols)
+        now_ms = int(time.time() * 1000)
+        changes = (
+            df.withColumn(model.META_EMITTED, F.lit(now_ms))
+            .withColumn(
+                model.META_SEQ, F.monotonically_increasing_id()
+            )
+            .withColumn(model.META_OP, F.lit("u" if mode == "upsert" else "i"))
+        )
+        if "content" in df.columns:
+            changes = self.pipeline.transform(changes)
+        return self.table.merge(
+            changes, batch_id=now_ms, checkpoint_id=f"write-{mode}"
+        )
+
+    def _truncate(self) -> None:
+        snap = self.table.current_snapshot()
+        new_snap = {
+            **snap,
+            "version": snap["version"] + 1,
+            "parent": snap["version"],
+            "entries": [],
+            "applied_batches": {},
+        }
+        self.table._write_snapshot(new_snap, expected_parent=snap["version"])
+
+    # ------------------------------------------------------------------- cdc
+    def replay(self, feed_path: str, checkpoint_dir: str | None = None) -> None:
+        """Bounded replay of a change feed (streaming with availableNow when
+        a checkpoint dir is given — resumable; plain batch otherwise)."""
+        if checkpoint_dir:
+            self.pipeline.replay_stream(feed_path, checkpoint_dir)
+        else:
+            self.pipeline.replay_batch(feed_path)
+
+    def tail(
+        self,
+        feed_path: str,
+        checkpoint_dir: str,
+        processing_time: str = "1 second",
+        max_files_per_trigger: int | None = None,
+    ):
+        """Continuous tail of a change feed; returns the StreamingQuery."""
+        return self.pipeline.replay_stream(
+            feed_path,
+            checkpoint_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            processing_time=processing_time,
+        )

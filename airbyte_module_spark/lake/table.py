@@ -1,0 +1,425 @@
+"""LakeTable — a minimal snapshot-versioned table format over parquet.
+
+The north rule targets an Iceberg sink; this sandbox ships no Iceberg runtime
+jar, so LakeTable re-implements the *subset of Iceberg semantics the engine
+needs* with public Spark + filesystem APIs, keeping the same shape a real
+deployment would have (swap LakeTable.merge for ``MERGE INTO`` on an Iceberg
+v2 table and everything above it is unchanged):
+
+- **Snapshots**: every commit writes an immutable ``_meta/snap-{v}.json``
+  listing (bucket → data dirs); readers resolve the current snapshot through
+  an atomically-replaced pointer file (``os.replace``; a production catalog
+  does this CAS server-side). Time travel = read an older snapshot.
+- **Hidden partitioning**: rows are hash-bucketed on the identity key
+  ``pmod(xxhash64(repo, path), n_buckets)`` — the analogue of Iceberg
+  ``bucket(N, repo, path)``. A merge touches only the buckets its batch
+  hits; readers prune to requested buckets (file-list pruning at the metadata
+  layer + parquet min/max stats on the stored ``_ab_bucket`` column).
+- **Copy-on-write and merge-on-read**: ``mode="cow"`` rewrites affected
+  buckets per merge (read-optimized); ``mode="mor"`` appends LWW-deduped
+  delta files per merge (write-optimized — the 10^10-event ingest path) and
+  resolves winners at read time with a window, exactly like Iceberg MoR with
+  equality deletes; ``compact()`` folds deltas into bases.
+- **Deletes are tombstones** (rows with ``_ab_op='d'`` kept internally,
+  filtered from user reads). This makes the final state a pure function of
+  the event set — independent of batch boundaries, arrival order, and
+  replays — which is what lets a replay from any checkpoint reproduce the
+  table byte-for-byte (BASELINE.json north_star).
+- **Exactly-once**: each merge records ``(checkpoint_id, batch_id)`` in the
+  snapshot; re-delivered batches are skipped. Even without the skip, LWW
+  makes re-application a no-op (idempotent MERGE).
+- **Additive schema evolution**: the snapshot carries the table schema;
+  ``evolve()`` widens it without data rewrite; readers project old files
+  through the widened schema (missing columns null-filled).
+
+The reference has no table format at all — its "sink" is a destination
+connector container fed newline-JSON over stdin (``/root/reference/abm/
+connector.py:323-341``); sync modes append/overwrite (``/root/reference/abm/
+server.py:182-187``) are subsumed by upsert.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_module_spark import model
+
+_POINTER = "current"
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+def bucket_expr(n_buckets: int, key_columns: list[str]):
+    """Identity-key hash bucket (Iceberg ``bucket(N, repo, path)`` analogue)."""
+    return F.pmod(F.xxhash64(*key_columns), F.lit(n_buckets)).cast("int")
+
+
+def dedup_lww(df: DataFrame, key_columns: list[str] | None = None) -> DataFrame:
+    """Last-writer-wins dedup via row_number over the cursor
+    (SURVEY.md §2.5 W1). Keeps tombstones; one shuffle on the identity key."""
+    keys = key_columns or model.KEY_COLUMNS
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(model.META_EMITTED).desc(), F.col(model.META_SEQ).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+
+    # ------------------------------------------------------------------ meta
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | None = None,
+        n_buckets: int = 32,
+        mode: str = "mor",
+        compact_after_deltas: int = 8,
+        key_columns: list[str] | None = None,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is the *data* schema
+        (user columns + ``_ab_*`` metadata columns); defaults to the
+        repo_files shape from BASELINE.json input_hint."""
+        if schema is None:
+            schema = model.table_schema(model.base_data_schema())
+        t = cls(spark, path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        if os.path.exists(os.path.join(t.meta_dir, _POINTER)):
+            raise FileExistsError(f"table already exists at {path}")
+        snap = {
+            "version": 0,
+            "parent": None,
+            "schema": schema.json(),
+            "entries": [],
+            "applied_batches": {},
+            "lineage": [],
+            "properties": {
+                "n_buckets": n_buckets,
+                "mode": mode,
+                "compact_after_deltas": compact_after_deltas,
+                "key_columns": key_columns if key_columns is not None else list(model.KEY_COLUMNS),
+            },
+        }
+        t._write_snapshot(snap, expected_parent=None)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.current_snapshot()  # raises if absent
+        return t
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, _POINTER)) as f:
+            return int(f.read().strip())
+
+    def current_snapshot(self) -> dict:
+        return self.snapshot(self.current_version())
+
+    def snapshot(self, version: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"snap-{version}.json")) as f:
+            return json.load(f)
+
+    def schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.current_snapshot()
+        return T.StructType.fromJson(json.loads(snap["schema"]))
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self.current_snapshot()["properties"]["n_buckets"])
+
+    @property
+    def key_columns(self) -> list[str]:
+        """Identity key of the upsert; empty list = keyless append-only table
+        (the reference's plain append sink, ``abm/server.py:182-187``)."""
+        return list(self.current_snapshot()["properties"].get("key_columns", model.KEY_COLUMNS))
+
+    def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
+        """Commit protocol: persist the immutable snapshot file, then swap the
+        pointer atomically (os.replace). The parent check gives optimistic
+        concurrency on a shared filesystem; a production catalog performs the
+        equivalent compare-and-swap transactionally."""
+        ptr = os.path.join(self.meta_dir, _POINTER)
+        if expected_parent is not None and self.current_version() != expected_parent:
+            raise ConcurrentCommitError(
+                f"snapshot moved past v{expected_parent}; retry the merge"
+            )
+        snap_file = os.path.join(self.meta_dir, f"snap-{snap['version']}.json")
+        with open(snap_file + ".tmp", "w") as f:
+            json.dump(snap, f)
+        os.replace(snap_file + ".tmp", snap_file)
+        with open(ptr + ".tmp", "w") as f:
+            f.write(str(snap["version"]))
+        os.replace(ptr + ".tmp", ptr)
+
+    # ------------------------------------------------------------------ read
+    def _read_entries(
+        self, entries: list[dict], schema: T.StructType, buckets: list[int] | None
+    ) -> DataFrame:
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(model.BUCKET_COLUMN, T.IntegerType(), True)]
+        )
+        sel = None if buckets is None else set(buckets)
+        dirs = [
+            os.path.join(self.path, e["dir"])
+            for e in entries
+            if sel is None or e["bucket"] in sel
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], full)
+        df = self.spark.read.schema(full).parquet(*dirs)
+        if sel is not None:
+            # redundant with metadata pruning, but gives parquet row-group
+            # skipping if a dir ever holds multiple buckets
+            df = df.filter(F.col(model.BUCKET_COLUMN).isin(*sel))
+        return df
+
+    def read_internal(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """All live rows incl. tombstones + metadata cols, LWW-resolved."""
+        snap = self.snapshot(version) if version is not None else self.current_snapshot()
+        schema = self.schema(snap)
+        mode = snap["properties"]["mode"]
+        df = self._read_entries(snap["entries"], schema, buckets)
+        has_delta = any(e["kind"] == "delta" for e in snap["entries"])
+        keys = snap["properties"].get("key_columns", model.KEY_COLUMNS)
+        if mode == "mor" and has_delta and keys:
+            df = dedup_lww(df, keys)
+        return df
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """User-facing read: winners only, no tombstones, metadata columns
+        stripped — mirroring the reference's ``_airbyte_*`` stripping
+        (``/root/reference/abm/connector.py:115-117``)."""
+        df = self.read_internal(version=version)
+        live = df.filter(F.col(model.META_OP) != "d")
+        keep = [c for c in live.columns if not c.startswith(model.META_PREFIX)]
+        return live.select(*keep)
+
+    # ----------------------------------------------------------------- write
+    def _stage_write(self, df: DataFrame, version: int) -> list[dict]:
+        """Write rows grouped per bucket under a fresh commit dir; return
+        snapshot entries [{dir, bucket, kind(placeholder)}].
+
+        ``partitionBy`` on a shadow copy of the bucket column keeps
+        ``_ab_bucket`` itself inside the data files (so parquet min/max stats
+        prune at scan time) while producing one directory per bucket for
+        metadata-level pruning.
+        """
+        commit_dir = f"data/commit-{version}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.path, commit_dir)
+        (
+            df.withColumn("_pb", F.col(model.BUCKET_COLUMN))
+            .repartition(model.BUCKET_COLUMN)
+            .write.partitionBy("_pb")
+            .parquet(out)
+        )
+        entries = []
+        for name in sorted(os.listdir(out)):
+            if name.startswith("_pb="):
+                entries.append(
+                    {"dir": f"{commit_dir}/{name}", "bucket": int(name.split("=")[1])}
+                )
+        return entries
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        keys = self.key_columns or [c for c in df.columns if c != model.BUCKET_COLUMN]
+        return df.withColumn(model.BUCKET_COLUMN, bucket_expr(self.n_buckets, keys))
+
+    def append_base(self, df: DataFrame) -> int:
+        """Bulk-load rows as base files (initial backfill path)."""
+        snap = self.current_snapshot()
+        new_version = snap["version"] + 1
+        entries = self._stage_write(self.with_bucket(df), new_version)
+        for e in entries:
+            e["kind"] = "base"
+        new_snap = {
+            **snap,
+            "version": new_version,
+            "parent": snap["version"],
+            "entries": snap["entries"] + entries,
+            "lineage": snap["lineage"],
+        }
+        self._write_snapshot(new_snap, expected_parent=snap["version"])
+        return new_version
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int = 0,
+        checkpoint_id: str = "adhoc",
+        lineage: dict | None = None,
+    ) -> int | None:
+        """MERGE a change batch (parsed rows with ``_ab_*`` metadata cols)
+        into the table. Returns the new snapshot version, or None if the
+        batch was already applied (exactly-once skip).
+
+        COW plans as: LWW-dedup batch → prune target to affected buckets →
+        union + window (one shuffle, equivalent to the MERGE join but also
+        deduping in the same exchange) → rewrite those buckets.
+        MoR plans as: LWW-dedup batch → append delta files (no join at all);
+        winners resolve at read; background ``compact()`` bounds read cost.
+        """
+        snap = self.current_snapshot()
+        key = f"{checkpoint_id}:{batch_id}"
+        if key in snap["applied_batches"]:
+            return None
+        schema = self.schema(snap)
+        mode = snap["properties"]["mode"]
+        new_version = snap["version"] + 1
+
+        keys = self.key_columns
+        changes = self.with_bucket(self._conform(changes, schema))
+        winners = dedup_lww(changes, keys) if keys else changes
+
+        if mode == "cow":
+            buckets = [
+                r[0] for r in winners.select(model.BUCKET_COLUMN).distinct().collect()
+            ]
+            target = self._read_entries(
+                [e for e in snap["entries"]], schema, buckets
+            )
+            merged = target.unionByName(winners)
+            if keys:
+                merged = dedup_lww(merged, keys)
+            entries = self._stage_write(merged, new_version)
+            for e in entries:
+                e["kind"] = "base"
+            kept = [e for e in snap["entries"] if e["bucket"] not in set(buckets)]
+            new_entries = kept + entries
+        else:  # mor
+            entries = self._stage_write(winners, new_version)
+            for e in entries:
+                e["kind"] = "delta"
+            new_entries = snap["entries"] + entries
+
+        new_snap = {
+            **snap,
+            "version": new_version,
+            "parent": snap["version"],
+            "entries": new_entries,
+            "applied_batches": {**snap["applied_batches"], key: new_version},
+            "lineage": (snap["lineage"] + [lineage])[-200:] if lineage else snap["lineage"],
+        }
+        self._write_snapshot(new_snap, expected_parent=snap["version"])
+
+        if mode == "mor":
+            per_bucket: dict[int, int] = {}
+            for e in new_entries:
+                if e["kind"] == "delta":
+                    per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+            limit = int(snap["properties"].get("compact_after_deltas", 8))
+            hot = [b for b, n in per_bucket.items() if n >= limit]
+            if hot:
+                self.compact(buckets=hot)
+        return new_version
+
+    def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project a change batch onto the table schema: missing columns
+        null-filled (schema-evolution tolerance), extra columns rejected
+        (caller must evolve() first), metadata columns passed through."""
+        have = set(df.columns)
+        cols = []
+        for f_ in schema.fields:
+            if f_.name in have:
+                cols.append(F.col(f_.name).cast(f_.dataType))
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        extra = have - {f_.name for f_ in schema.fields} - {model.BUCKET_COLUMN}
+        if extra:
+            raise ValueError(
+                f"batch carries columns {sorted(extra)} not in table schema; "
+                "call evolve() first (additive evolution only)"
+            )
+        return df.select(*cols)
+
+    def evolve(self, new_fields: list[T.StructField]) -> int:
+        """Additive schema evolution: widen the table schema, no data rewrite
+        (SURVEY.md §2.8 T4). Old files read back null for new columns."""
+        snap = self.current_snapshot()
+        schema = self.schema(snap)
+        existing = {f.name for f in schema.fields}
+        add = [f for f in new_fields if f.name not in existing]
+        if not add:
+            return snap["version"]
+        meta_idx = next(
+            i for i, f in enumerate(schema.fields) if f.name.startswith(model.META_PREFIX)
+        )
+        fields = schema.fields[:meta_idx] + add + schema.fields[meta_idx:]
+        new_version = snap["version"] + 1
+        new_snap = {
+            **snap,
+            "version": new_version,
+            "parent": snap["version"],
+            "schema": T.StructType(fields).json(),
+        }
+        self._write_snapshot(new_snap, expected_parent=snap["version"])
+        return new_version
+
+    def compact(self, buckets: list[int] | None = None) -> int:
+        """Fold delta files into base files for the given buckets (all if
+        None): read union, resolve LWW winners (tombstones retained), rewrite
+        as base. Bounds MoR read amplification; at cluster scale this runs as
+        a background maintenance job per bucket range."""
+        snap = self.current_snapshot()
+        schema = self.schema(snap)
+        all_buckets = {e["bucket"] for e in snap["entries"]}
+        sel = sorted(all_buckets if buckets is None else set(buckets) & all_buckets)
+        if not sel:
+            return snap["version"]
+        df = self._read_entries(snap["entries"], schema, sel)
+        keys = snap["properties"].get("key_columns", model.KEY_COLUMNS)
+        df = dedup_lww(df, keys) if keys else df
+        new_version = snap["version"] + 1
+        entries = self._stage_write(df, new_version)
+        for e in entries:
+            e["kind"] = "base"
+        kept = [e for e in snap["entries"] if e["bucket"] not in set(sel)]
+        new_snap = {
+            **snap,
+            "version": new_version,
+            "parent": snap["version"],
+            "entries": kept + entries,
+        }
+        self._write_snapshot(new_snap, expected_parent=snap["version"])
+        return new_version
+
+    # ------------------------------------------------------------- utilities
+    def lineage(self) -> list[dict]:
+        return self.current_snapshot()["lineage"]
+
+    def digest(self, cols: list[str] | None = None) -> str:
+        """Order- and partitioning-independent table digest: sha256 over the
+        sorted per-row sha256 fingerprints of the user-facing rows. At small
+        scale uses sort+concat on the driver side of a single-row collect; at
+        100 TB swap the final fold for a commutative aggregate (sum/xor of
+        hash prefixes) — same invariance argument."""
+        df = self.read()
+        cols = cols or df.columns
+        row_hash = F.sha2(
+            F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]),
+            256,
+        )
+        agg = df.select(row_hash.alias("h")).agg(
+            F.sha2(F.concat_ws("\n", F.sort_array(F.collect_list("h"))), 256).alias("d")
+        )
+        return agg.collect()[0]["d"]

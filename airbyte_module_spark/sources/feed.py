@@ -1,0 +1,89 @@
+"""Change-feed source: NDJSON envelope shards → typed change DataFrames.
+
+Replaces the reference's connector read path — dockerized ``read`` subprocess,
+stdout line filtering and 100-line batching (``/root/reference/abm/
+connector.py:138-161,212-243``) — with Spark's JSON source. Message-type
+filtering (drop LOG/STATE, keep RECORD — reference ``abm/connector.py:
+143-157``), stream filtering (``abm/connector.py:216-221``) and record
+projection (``abm/connector.py:130-131``) become Catalyst-optimized
+filter/select; non-JSON noise lines land as nulls and are filtered, mirroring
+the reference's try/continue skip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_module_spark import model
+
+
+def read_feed(spark: SparkSession, feed_path: str) -> DataFrame:
+    """Batch-read raw envelope lines (column ``value``)."""
+    return spark.read.text(feed_path)
+
+
+def read_feed_stream(
+    spark: SparkSession, feed_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming tail of a feed directory (SURVEY.md §2.8 T1).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size — the Spark-native
+    replacement for the reference's hardcoded 100-message batches
+    (``abm/connector.py:138``).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(feed_path)
+
+
+def _cursor_cols() -> list[Column]:
+    return [F.col(model.META_EMITTED), F.col(model.META_SEQ)]
+
+
+def parse_envelopes(
+    raw: DataFrame,
+    data_schema: T.StructType | None = None,
+    stream: str = model.STREAM_NAME,
+) -> DataFrame:
+    """Envelope lines → typed change rows.
+
+    Output columns: user data columns + ``_ab_emitted_at, _ab_seq, _ab_op``.
+    Entirely JVM-side (``from_json`` + projections); ``.explain`` shows a
+    single WholeStageCodegen span with the RECORD/stream filters pushed onto
+    the scan.
+    """
+    data_schema = data_schema or model.base_data_schema()
+    env = raw.select(
+        F.from_json(F.col("value"), model.ENVELOPE_SCHEMA).alias("m")
+    ).select("m.type", "m.record.*")
+    records = env.filter(
+        (F.col("type") == "RECORD") & (F.col("stream") == stream)
+    )
+    parsed = records.select(
+        F.col("emitted_at").alias(model.META_EMITTED),
+        F.from_json(F.col("data"), data_schema).alias("d"),
+    )
+    user_cols = [f.name for f in data_schema.fields if f.name not in ("op", "seq")]
+    return parsed.select(
+        *[F.col(f"d.{c}").alias(c) for c in user_cols],
+        F.col(model.META_EMITTED),
+        F.col("d.seq").alias(model.META_SEQ),
+        F.col("d.op").alias(model.META_OP),
+    ).filter(F.col(model.META_OP).isNotNull())
+
+
+def observed_data_fields(raw: DataFrame, stream: str = model.STREAM_NAME) -> list[str]:
+    """Distinct data-field names present in a (micro-)batch — the probe behind
+    additive schema evolution (SURVEY.md §2.8 T4). Cheap: one distinct over
+    exploded key names, executed per batch on already-small batch data."""
+    env = raw.select(F.from_json(F.col("value"), model.ENVELOPE_SCHEMA).alias("m"))
+    keys = (
+        env.filter((F.col("m.type") == "RECORD") & (F.col("m.record.stream") == stream))
+        .select(F.explode(F.json_object_keys(F.col("m.record.data"))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["k"] for r in keys)

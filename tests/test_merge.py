@@ -1,0 +1,132 @@
+"""M1: batch replay → MERGE → final state matches the pandas oracle
+(per-row content sha256 equality + whole-table digest, FIXTURES.md).
+Covers both table modes (merge-on-read, copy-on-write)."""
+
+import pytest
+
+from airbyte_module_spark import model
+from airbyte_module_spark.lake.table import LakeTable
+from airbyte_module_spark.sources.generator import FeedSpec, generate_feed
+from airbyte_module_spark.sources import feed as feed_src
+from airbyte_module_spark.streaming.pipeline import CdcPipeline
+from tests.util import assert_matches_oracle
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_replay_matches_oracle(spark, tmp_path, mode):
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=42, n_events=400), feed)
+    table = LakeTable.create(spark, str(tmp_path / f"t_{mode}"), mode=mode, n_buckets=8)
+    CdcPipeline(table).replay_batch(feed)
+    assert_matches_oracle(table, events)
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_batch_boundary_independence(spark, tmp_path, mode):
+    """Splitting the same feed into many merges must converge to the same
+    digest as one merge — the core replay-equality invariant."""
+    feed_all = str(tmp_path / "all")
+    events = generate_feed(FeedSpec(seed=11, n_events=300, n_shards=6), feed_all)
+
+    t_one = LakeTable.create(spark, str(tmp_path / f"one_{mode}"), mode=mode, n_buckets=8)
+    CdcPipeline(t_one).replay_batch(feed_all)
+
+    t_many = LakeTable.create(spark, str(tmp_path / f"many_{mode}"), mode=mode, n_buckets=8)
+    pipe = CdcPipeline(t_many)
+    for i in range(6):
+        raw = spark.read.text(f"{feed_all}/shard-{i:05d}.json")
+        pipe.apply_batch(raw, batch_id=i, checkpoint_id="split")
+
+    assert t_one.digest() == t_many.digest()
+    assert_matches_oracle(t_many, events)
+
+
+def test_idempotent_reapply(spark, tmp_path):
+    """Exactly-once: (a) same (checkpoint, batch) id is skipped outright;
+    (b) even a forced re-apply under a new id leaves the digest unchanged
+    (LWW convergence)."""
+    feed = str(tmp_path / "feed")
+    generate_feed(FeedSpec(seed=5, n_events=200), feed)
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    pipe = CdcPipeline(table)
+    raw = spark.read.text(feed)
+    v1 = pipe.apply_batch(raw, batch_id=1, checkpoint_id="ck")
+    assert v1 is not None
+    d1 = table.digest()
+    assert pipe.apply_batch(raw, batch_id=1, checkpoint_id="ck") is None  # skip
+    assert pipe.apply_batch(raw, batch_id=2, checkpoint_id="ck") is not None
+    assert table.digest() == d1
+
+
+def test_late_event_loses_even_after_delete(spark, tmp_path):
+    """Tombstone semantics: a lower-cursor update arriving after a delete must
+    NOT resurrect the row (matches oracle; batch-boundary independent)."""
+    import json
+
+    def line(op, seq, emitted, content):
+        return json.dumps({
+            "type": "RECORD",
+            "record": {"stream": "repo_files", "emitted_at": emitted,
+                       "data": {"op": op, "seq": seq, "repo": "r", "path": "p",
+                                "commit": "c" * 40, "lang": "py",
+                                "content": content}}})
+
+    d = tmp_path / "feed1"
+    d.mkdir()
+    (d / "a.json").write_text(line("i", 1, 100, "v1") + "\n" + line("d", 3, 300, None) + "\n")
+    d2 = tmp_path / "feed2"
+    d2.mkdir()
+    (d2 / "b.json").write_text(line("u", 2, 200, "late") + "\n")
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    pipe = CdcPipeline(table)
+    pipe.apply_batch(spark.read.text(str(d)), batch_id=1, checkpoint_id="x")
+    pipe.apply_batch(spark.read.text(str(d2)), batch_id=2, checkpoint_id="x")
+    assert table.read().count() == 0
+
+
+def test_compaction_preserves_state(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=9, n_events=300, n_shards=4), feed)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), mode="mor", n_buckets=4, compact_after_deltas=100
+    )
+    pipe = CdcPipeline(table)
+    for i in range(4):
+        raw = spark.read.text(f"{feed}/shard-{i:05d}.json")
+        pipe.apply_batch(raw, batch_id=i, checkpoint_id="c")
+    d_before = table.digest()
+    n_delta = sum(1 for e in table.current_snapshot()["entries"] if e["kind"] == "delta")
+    assert n_delta > 0
+    table.compact()
+    assert all(e["kind"] == "base" for e in table.current_snapshot()["entries"])
+    assert table.digest() == d_before
+    assert_matches_oracle(table, events)
+
+
+def test_time_travel(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    generate_feed(FeedSpec(seed=3, n_events=100, n_shards=2), feed)
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    pipe = CdcPipeline(table)
+    raw0 = spark.read.text(f"{feed}/shard-00000.json")
+    v1 = pipe.apply_batch(raw0, batch_id=0, checkpoint_id="c")
+    count_v1 = table.read(version=v1).count()
+    raw1 = spark.read.text(f"{feed}/shard-00001.json")
+    pipe.apply_batch(raw1, batch_id=1, checkpoint_id="c")
+    assert table.read(version=v1).count() == count_v1  # snapshot immutable
+
+
+def test_lineage_recorded(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    generate_feed(FeedSpec(seed=4, n_events=150), feed)
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    CdcPipeline(table).replay_batch(feed)
+    lin = table.lineage()
+    assert len(lin) == 1
+    rec = lin[0]
+    assert rec["n_events"] >= rec["n_winners"] > 0
+    assert rec["n_conflicts"] == rec["n_events"] - rec["n_winners"]
+    assert rec["min_emitted_at"] <= rec["max_emitted_at"]
+    assert rec["per_partition"], "per-partition lineage missing"
+    assert sum(p["events"] for p in rec["per_partition"]) == rec["n_events"]
