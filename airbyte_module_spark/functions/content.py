@@ -32,7 +32,10 @@ def normalize_content_expr(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     unified = F.regexp_replace(c, "\r\n?", "\n")
-    return F.regexp_replace(unified, "[ \t]+(?=\n|$)", "")
+    # two-step (no lookahead) so the exact same regexes run under RE2-based
+    # oracles: strip ws before any newline, then ws at end of text
+    stripped = F.regexp_replace(unified, "[ \t]+\n", "\n")
+    return F.regexp_replace(stripped, "[ \t]+$", "")
 
 
 def sha256_expr(col: Column | str) -> Column:
@@ -47,7 +50,8 @@ def sha256_expr(col: Column | str) -> Column:
 def normalize_content(s: pd.Series) -> pd.Series:
     """Vectorized normalization: pandas str ops over the whole Arrow batch."""
     out = s.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
-    return out.str.replace(r"[ \t]+(?=\n|$)", "", regex=True)
+    out = out.str.replace(r"[ \t]+\n", "\n", regex=True)
+    return out.str.replace(r"[ \t]+\Z", "", regex=True)
 
 
 @pandas_udf(T.StringType())
@@ -64,4 +68,5 @@ def normalize_py(text: str | None) -> str | None:
         return None
     import re
 
-    return re.sub(r"[ \t]+(?=\n|$)", "", text.replace("\r\n", "\n").replace("\r", "\n"))
+    t = text.replace("\r\n", "\n").replace("\r", "\n")
+    return re.sub(r"[ \t]+\Z", "", re.sub(r"[ \t]+\n", "\n", t))

@@ -123,14 +123,22 @@ class CdcPipeline:
             self._maybe_evolve(raw)
         changes = feed_src.parse_envelopes(raw, self.data_schema(), self.stream)
         changes = self.table.with_bucket(self.transform(changes))
-        lineage = None
-        if self.collect_lineage:
-            winners = dedup_lww(changes)
-            lineage = lineage_from_batch(changes, winners, batch_id, checkpoint_id).to_dict()
-        return self.table.merge(
-            changes, batch_id=batch_id, checkpoint_id=checkpoint_id,
-            lineage=lineage,
-        )
+        # lineage + merge both consume the parsed batch: cache it once so the
+        # parse/normalize/sha work runs a single time per micro-batch
+        changes.persist()
+        try:
+            lineage = None
+            if self.collect_lineage:
+                winners = dedup_lww(changes, self.table.key_columns)
+                lineage = lineage_from_batch(
+                    changes, winners, batch_id, checkpoint_id
+                ).to_dict()
+            return self.table.merge(
+                changes, batch_id=batch_id, checkpoint_id=checkpoint_id,
+                lineage=lineage,
+            )
+        finally:
+            changes.unpersist()
 
     def replay_batch(self, feed_path: str, checkpoint_id: str = "batch-replay") -> int | None:
         """One-shot batch replay of an entire feed directory (backfill path).
