@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: CDC replay throughput + oracle-query timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "replay": {"n_events": N, "events_per_sec": X, ...},
+   "scaling": <contents of BENCH/scaling.json if present>}
+
+The headline replay is the engine's real ingest path: a deterministic
+envelope feed (generated JVM-side, untimed) streamed through
+parse → normalize → sha256 → LWW dedup → MERGE into the lake table.
+Feed size scales with the requested SF so the driver's per-round run at
+sf0.1 measures a few million events.
+
+Scaling evidence (local[8] vs local[32], BASELINE.md protocol) is produced
+by scripts/scaling_bench.py, which caches its result in BENCH/scaling.json;
+this script attaches that cache so BENCH_r{N}.json carries it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from airbyte_module_spark import Engine, get_spark  # noqa: E402
+from airbyte_module_spark.sources.generator import generate_feed_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_EVENTS = {"0.001": 50_000, "0.01": 500_000, "0.1": 3_000_000}
+
+
+def sf_from_dir(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def run_replay(spark, n_events: int, work: str) -> dict:
+    feed = os.path.join(work, "feed")
+    gen_start = time.time()
+    generate_feed_spark(
+        spark, n_events, n_keys=max(n_events // 20, 1000), content_bytes=200
+    ).repartition(64).write.mode("overwrite").text(feed)
+    gen_sec = time.time() - gen_start
+
+    eng = Engine(spark, os.path.join(work, "table"), collect_lineage=True)
+    start = time.time()
+    eng.replay(feed, checkpoint_dir=os.path.join(work, "ck"))
+    replay_sec = time.time() - start
+    n_final = eng.read().count()
+    return {
+        "n_events": n_events,
+        "gen_sec": round(gen_sec, 2),
+        "replay_sec": round(replay_sec, 3),
+        "events_per_sec": round(n_events / replay_sec, 1),
+        "final_rows": n_final,
+        "lineage_batches": len(eng.lineage()),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_from_dir(sf_dir)
+    n_events = int(
+        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", SF_EVENTS.get(sf, 3_000_000))
+    )
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+
+    work = tempfile.mkdtemp(prefix="ams_bench_")
+    try:
+        replay = run_replay(spark, n_events, work)
+
+        q_times: dict[str, float] = {}
+        for name, fn in entry_mod.queries().items():
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            q_times[name] = round(time.time() - t0, 3)
+
+        scaling = None
+        scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                scaling = json.load(f)
+
+        out = {
+            "metric": "cdc_replay_sec",
+            "value": replay["replay_sec"],
+            "unit": "sec",
+            "queries": q_times,
+            "sf": float(sf),
+            "replay": replay,
+            "cpus": int(cpus),
+            "scaling": scaling,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
