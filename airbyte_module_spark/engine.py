@@ -73,8 +73,8 @@ class Engine:
             [f for f in full.fields if not f.name.startswith(model.META_PREFIX)]
         )
 
-    def digest(self) -> str:
-        return self.table.digest()
+    def digest(self, cols: list[str] | None = None) -> str:
+        return self.table.digest(cols)
 
     def lineage(self) -> list[dict]:
         return self.table.lineage()

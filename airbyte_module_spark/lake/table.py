@@ -215,20 +215,25 @@ class LakeTable:
         return live.select(*keep)
 
     # ----------------------------------------------------------------- write
-    def _stage_write(self, df: DataFrame, version: int) -> list[dict]:
+    def _stage_write(
+        self, df: DataFrame, version: int, pre_partitioned: bool = False
+    ) -> list[dict]:
         """Write rows grouped per bucket under a fresh commit dir; return
         snapshot entries [{dir, bucket, kind(placeholder)}].
 
         ``partitionBy`` on a shadow copy of the bucket column keeps
         ``_ab_bucket`` itself inside the data files (so parquet min/max stats
         prune at scan time) while producing one directory per bucket for
-        metadata-level pruning.
+        metadata-level pruning. ``pre_partitioned`` promises the input is
+        already hash-partitioned on the bucket column (the ingest pipeline's
+        single shuffle), so the write adds no exchange and each bucket lands
+        in exactly one file per commit.
         """
         commit_dir = f"data/commit-{version}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, commit_dir)
+        staged = df if pre_partitioned else df.repartition(model.BUCKET_COLUMN)
         (
-            df.withColumn("_pb", F.col(model.BUCKET_COLUMN))
-            .repartition(model.BUCKET_COLUMN)
+            staged.withColumn("_pb", F.col(model.BUCKET_COLUMN))
             .write.partitionBy("_pb")
             .parquet(out)
         )
@@ -268,6 +273,8 @@ class LakeTable:
         batch_id: int = 0,
         checkpoint_id: str = "adhoc",
         lineage: dict | None = None,
+        pre_deduped: bool = False,
+        pre_partitioned: bool = False,
     ) -> int | None:
         """MERGE a change batch (parsed rows with ``_ab_*`` metadata cols)
         into the table. Returns the new snapshot version, or None if the
@@ -278,6 +285,10 @@ class LakeTable:
         deduping in the same exchange) → rewrite those buckets.
         MoR plans as: LWW-dedup batch → append delta files (no join at all);
         winners resolve at read; background ``compact()`` bounds read cost.
+
+        ``pre_deduped``/``pre_partitioned`` let the ingest pipeline promise
+        the batch is already LWW-resolved and bucket-hash-partitioned, so the
+        MoR fast path adds zero extra shuffles.
         """
         snap = self.current_snapshot()
         key = f"{checkpoint_id}:{batch_id}"
@@ -288,8 +299,11 @@ class LakeTable:
         new_version = snap["version"] + 1
 
         keys = self.key_columns
-        changes = self.with_bucket(self._conform(changes, schema))
-        winners = dedup_lww(changes, keys) if keys else changes
+        changes = self._conform(changes, schema)
+        if model.BUCKET_COLUMN not in changes.columns:
+            changes = self.with_bucket(changes)
+            pre_partitioned = False
+        winners = changes if pre_deduped or not keys else dedup_lww(changes, keys)
 
         if mode == "cow":
             buckets = [
@@ -307,7 +321,9 @@ class LakeTable:
             kept = [e for e in snap["entries"] if e["bucket"] not in set(buckets)]
             new_entries = kept + entries
         else:  # mor
-            entries = self._stage_write(winners, new_version)
+            entries = self._stage_write(
+                winners, new_version, pre_partitioned=pre_partitioned
+            )
             for e in entries:
                 e["kind"] = "delta"
             new_entries = snap["entries"] + entries
@@ -344,6 +360,8 @@ class LakeTable:
                 cols.append(F.col(f_.name).cast(f_.dataType))
             else:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        if model.BUCKET_COLUMN in have:
+            cols.append(F.col(model.BUCKET_COLUMN))
         extra = have - {f_.name for f_ in schema.fields} - {model.BUCKET_COLUMN}
         if extra:
             raise ValueError(

@@ -62,6 +62,37 @@ ENVELOPE_SCHEMA = T.StructType(
     ]
 )
 
+#: Observed payload field names per row (internal; evolution probe only).
+META_KEYS = "_ab_keys"
+
+
+def envelope_schema(data_schema: T.StructType) -> T.StructType:
+    """Full typed envelope schema with the data payload as a struct of the
+    given fields — the one-pass parse schema for the ingest hot path.
+
+    Measured pitfall (Spark 4.1, local[32], 1M lines): parsing the payload as
+    ``map<string,string>`` costs ~25x more than a typed struct (9.9s vs
+    0.4s), so the engine always parses with the *current* table schema as a
+    struct and detects new fields from ``json_object_keys`` on the raw line
+    (same scan, no second from_json).
+    """
+    return T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField(
+                "record",
+                T.StructType(
+                    [
+                        T.StructField("stream", T.StringType()),
+                        T.StructField("namespace", T.StringType()),
+                        T.StructField("emitted_at", T.LongType()),
+                        T.StructField("data", data_schema),
+                    ]
+                ),
+            ),
+        ]
+    )
+
 #: Base data schema of the repo_files stream (BASELINE.json input_hint).
 BASE_DATA_FIELDS: list[tuple[str, T.DataType]] = [
     ("op", T.StringType()),

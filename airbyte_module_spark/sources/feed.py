@@ -75,6 +75,50 @@ def parse_envelopes(
     ).filter(F.col(model.META_OP).isNotNull())
 
 
+def parse_envelopes_once(
+    raw: DataFrame,
+    data_schema: T.StructType | None = None,
+    stream: str = model.STREAM_NAME,
+    with_keys: bool = False,
+) -> DataFrame:
+    """One-pass envelope parse (the ingest hot path).
+
+    A single ``from_json`` per line decodes the full envelope with the data
+    payload typed as a struct of the *current* table schema (the fast parse
+    shape — see ``model.envelope_schema`` for the measured map-vs-struct
+    pitfall). When ``with_keys`` is set, the observed payload field names for
+    the schema-evolution probe ride the same scan via ``json_object_keys`` on
+    the raw line — evolution detection costs no extra pass over the feed.
+    """
+    data_schema = data_schema or model.base_data_schema()
+    env_schema = model.envelope_schema(data_schema)
+    cols = [F.from_json(F.col("value"), env_schema).alias("m")]
+    if with_keys:
+        cols.append(
+            F.json_object_keys(
+                F.get_json_object(F.col("value"), "$.record.data")
+            ).alias(model.META_KEYS)
+        )
+    env = raw.select(*cols)
+    rec = env.filter(
+        (F.col("m.type") == "RECORD") & (F.col("m.record.stream") == stream)
+    )
+    user_cols = [
+        F.col(f"m.record.data.{f.name}").alias(f.name)
+        for f in data_schema.fields
+        if f.name not in ("op", "seq")
+    ]
+    out_cols = [
+        *user_cols,
+        F.col("m.record.emitted_at").alias(model.META_EMITTED),
+        F.col("m.record.data.seq").cast("long").alias(model.META_SEQ),
+        F.col("m.record.data.op").alias(model.META_OP),
+    ]
+    if with_keys:
+        out_cols.append(F.col(model.META_KEYS))
+    return rec.select(*out_cols).filter(F.col(model.META_OP).isNotNull())
+
+
 def observed_data_fields(raw: DataFrame, stream: str = model.STREAM_NAME) -> list[str]:
     """Distinct data-field names present in a (micro-)batch — the probe behind
     additive schema evolution (SURVEY.md §2.8 T4). Cheap: one distinct over

@@ -82,16 +82,12 @@ class CdcPipeline:
         )
 
     # ------------------------------------------------------------- evolution
-    def _maybe_evolve(self, raw: DataFrame) -> None:
-        """Additive schema evolution (FIXTURES.md F5): detect data fields not
-        yet in the table schema, infer a conservative type from a sample
-        value, widen the table. Runs per micro-batch; the distinct-keys probe
-        is one small aggregation over the batch."""
-        known = {f.name for f in self.data_schema().fields}
-        observed = feed_src.observed_data_fields(raw, self.stream)
-        new = [k for k in observed if k not in known]
-        if not new:
-            return
+    def _evolve_new_fields(self, raw: DataFrame, new: list[str]) -> None:
+        """Widen the table for fields that appeared mid-stream: infer a
+        conservative type from one sample value per field (the reference
+        plays the same 'number may be int or double, play it safe' game at
+        ``/root/reference/abm/connector.py:182-185``). Runs only on the rare
+        batch that actually carries new fields."""
         env = raw.select(F.from_json(F.col("value"), model.ENVELOPE_SCHEMA).alias("m"))
         fields = []
         for name in new:
@@ -117,28 +113,89 @@ class CdcPipeline:
     def apply_batch(
         self, raw: DataFrame, batch_id: int = 0, checkpoint_id: str = "adhoc"
     ) -> int | None:
-        """Parse + transform + lineage + MERGE one batch of raw envelope
-        lines. Shared by batch replay and the streaming sink."""
-        if self.auto_evolve:
-            self._maybe_evolve(raw)
-        changes = feed_src.parse_envelopes(raw, self.data_schema(), self.stream)
-        changes = self.table.with_bucket(self.transform(changes))
-        # lineage + merge both consume the parsed batch: cache it once so the
-        # parse/normalize/sha work runs a single time per micro-batch
-        changes.persist()
+        """Parse + dedup + transform + lineage + MERGE one batch of raw
+        envelope lines. Shared by batch replay and the streaming sink.
+
+        Plan shape (the 10^10-event path — one JSON parse, one shuffle):
+
+        1. ``parse_envelopes_once``: single from_json per line; typed columns
+           + the evolution probe ride the same scan. Cached for the batch.
+        2. evolution probe = distinct over the cached key-names column (no
+           extra parse); widening re-projects from the cache-backed raw only
+           on the rare evolving batch.
+        3. one shuffle: repartition on the target bucket, then LWW dedup as a
+           window over (bucket, key) — the bucket-hash partitioning already
+           satisfies the window's clustering requirement, so the window adds
+           only a sort, and the bucketed file write needs no further exchange.
+        4. normalize + sha256 run on *winners only* (post-dedup), not on every
+           event — at high conflict rates that is the difference between
+           hashing the feed and hashing the table.
+        """
+        schema = self.data_schema()
+        parsed = feed_src.parse_envelopes_once(
+            raw, schema, self.stream, with_keys=self.auto_evolve
+        )
+        parsed = self.table.with_bucket(parsed)
+        parsed.persist()
         try:
+            if self.auto_evolve:
+                observed = [
+                    r[0]
+                    for r in parsed.select(
+                        F.explode(model.META_KEYS).alias("k")
+                    ).distinct().collect()
+                ]
+                known = {f.name for f in schema.fields}
+                new = sorted(k for k in observed if k not in known)
+                parsed = parsed.drop(model.META_KEYS)
+                if new:
+                    self._evolve_new_fields(raw, new)
+                    parsed.unpersist()
+                    parsed = self.table.with_bucket(
+                        feed_src.parse_envelopes_once(
+                            raw, self.data_schema(), self.stream
+                        )
+                    )
+                    parsed.persist()
+
+            keys = self.table.key_columns
+            if keys:
+                n_parts = max(
+                    self.table.n_buckets,
+                    int(self.table.spark.conf.get("spark.sql.shuffle.partitions")),
+                )
+                redistributed = parsed.repartition(
+                    n_parts, F.col(model.BUCKET_COLUMN)
+                )
+                winners = dedup_lww(
+                    redistributed, [model.BUCKET_COLUMN, *keys]
+                )
+            else:
+                winners = parsed
+            if "content" in winners.columns:
+                winners = self.transform(winners)
+
             lineage = None
             if self.collect_lineage:
-                winners = dedup_lww(changes, self.table.key_columns)
-                lineage = lineage_from_batch(
-                    changes, winners, batch_id, checkpoint_id
-                ).to_dict()
-            return self.table.merge(
-                changes, batch_id=batch_id, checkpoint_id=checkpoint_id,
-                lineage=lineage,
-            )
+                winners.persist()
+            try:
+                if self.collect_lineage:
+                    lineage = lineage_from_batch(
+                        parsed, winners, batch_id, checkpoint_id
+                    ).to_dict()
+                return self.table.merge(
+                    winners,
+                    batch_id=batch_id,
+                    checkpoint_id=checkpoint_id,
+                    lineage=lineage,
+                    pre_deduped=True,
+                    pre_partitioned=bool(keys),
+                )
+            finally:
+                if self.collect_lineage:
+                    winners.unpersist()
         finally:
-            changes.unpersist()
+            parsed.unpersist()
 
     def replay_batch(self, feed_path: str, checkpoint_id: str = "batch-replay") -> int | None:
         """One-shot batch replay of an entire feed directory (backfill path).
