@@ -81,6 +81,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": Q.text_quality_score,
         "text_langid": Q.text_langid,
         "dedup_exact": Q.dedup_exact,
+        "doc_fingerprint": Q.doc_fingerprint,
+        "dedup_minhash": Q.dedup_minhash,
+        "dedup_minhash_lsh": Q.dedup_minhash_lsh,
+        "dedup_simhash": Q.dedup_simhash,
+        "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
+        "embedding_near_dup": Q.embedding_near_dup,
+        "ann_topk": Q.ann_topk,
+        "ann_lsh_buckets": Q.ann_lsh_buckets,
+        "ann_topk_lsh": Q.ann_topk_lsh,
+        "multimodal_meta": Q.multimodal_meta,
+        "envelope_parse": Q.envelope_parse,
+        "merge_routing": Q.merge_routing,
+        "salted_join": Q.salted_join,
     }
 
 

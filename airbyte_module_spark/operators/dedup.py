@@ -1,0 +1,171 @@
+"""Document deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+
+All variants follow the same scale discipline:
+
+- **exact**: one hash-groupBy on the normalized-content sha256 — a single
+  shuffle keyed by a uniform hash; trivially skew-free.
+- **MinHash + LSH**: per-doc signature (narrow, no shuffle), banding, then a
+  self-join *on the band bucket* — candidate generation is output-linear in
+  the number of colliding docs, never all-pairs. This is the 100 TB path.
+- **SimHash**: explode distinct tokens → one groupBy(doc) with 32 per-bit
+  sums; near-dup buckets = equal 32-bit fingerprints.
+- **n-gram Jaccard**: inverted-index join on shingles (explode + equi-join +
+  count) — exact similarity, used at moderate scale or as the verifier
+  behind LSH candidates. All-pairs comparison is never materialized.
+
+Everything is built from Catalyst expressions over the cross-engine hash
+(:func:`operators.text.hash64`), so every operator has a value-exact DuckDB
+oracle (see ``oracle_sql.py``). No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbyte_module_spark.operators.text import hash64, word_shingles
+
+N_MINHASHES = 16
+N_BANDS = 4  # 4 bands x 4 rows: candidate if any 4-run of minhashes agrees
+
+
+def _min_over_seed(col, j: int):
+    # NB: the lambda must take exactly one parameter — pyspark passes
+    # (element, index) to two-parameter lambdas, so a captured `j=j` default
+    # would silently receive the array index column instead of the seed.
+    prefix = f"{j}:"
+    return F.array_min(
+        F.transform(col, lambda s: hash64(F.concat(F.lit(prefix), s)))
+    ).alias(f"m{j}")
+
+
+def minhash_signature(col, n_hashes: int = N_MINHASHES) -> list:
+    """MinHash signature columns m0..m{n-1}: for seed j, the min over
+    shingles of hash64(j ':' shingle). Null signature for docs with no
+    shingles (< n tokens). Narrow (per-row) — no shuffle."""
+    return [_min_over_seed(col, j) for j in range(n_hashes)]
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """doc_id + MinHash signature columns over word n-gram shingles."""
+    sh = word_shingles(F.col(text_col), n=n)
+    return docs.select("doc_id", *minhash_signature(sh)).filter(
+        F.col("m0").isNotNull()
+    )
+
+
+def minhash_bands(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH banding: (doc_id, band, band_hash). Docs sharing a (band,
+    band_hash) bucket are near-dup candidates; the collision probability of
+    a band is jaccard^(rows_per_band), so with 4x4 a 0.9-similar pair is
+    caught with p ~ 1-(1-0.9^4)^4 ~ 0.97 while random pairs never collide."""
+    rows = N_MINHASHES // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.sha2(
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+                ),
+                256,
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs from band-bucket collisions: self-equi-join on
+    (band, band_hash), doc_a < doc_b, de-duplicated across bands with the
+    number of agreeing bands kept as evidence strength."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document over distinct whitespace tokens.
+
+    bit b of the fingerprint = 1 iff sum over tokens of (+1 if bit b of
+    hash64(token) set else -1) >= 0. Documents within small Hamming distance
+    are near-dups; identical fingerprints bucket trivially by groupBy.
+    One explode + one groupBy(doc_id) with 32 conditional sums — a single
+    shuffle keyed by doc_id (uniform)."""
+    from airbyte_module_spark.operators.text import tokens
+
+    ex = docs.filter(F.length(text_col) > 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    ex = ex.select("doc_id", hash64(F.col("tok")).alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    g = ex.groupBy("doc_id").agg(*sums)
+    fp = None
+    for b in range(32):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return g.select("doc_id", fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 2, threshold: float = 0.15
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
+    via an inverted-index self-join (explode shingles → equi-join on the
+    shingle → count common), thresholded.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — a single division of exact integer
+    counts, so the value is IEEE-identical across engines. At very large
+    corpora, cap the document frequency of join shingles (drop shingles in
+    > K docs) or run it only on LSH candidates; exactness is unchanged for
+    the surviving pairs."""
+    sh = docs.filter(F.length(text_col) > 0).select(
+        "doc_id", word_shingles(F.col(text_col), n=n).alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    # no broadcast hint: AQE picks broadcast while `sizes` is small and falls
+    # back to a shuffled join at billion-doc scale
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

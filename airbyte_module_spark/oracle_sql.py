@@ -150,3 +150,261 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# Generated oracles for the training-data operators. The constructions
+# mirror airbyte_module_spark/operators/{text,dedup,similarity}.py exactly:
+# same sha256-prefix 60-bit hash, same shingling (1-based indexing), same
+# integer quantization — so values are bit-identical across engines.
+
+def _h64(expr: str) -> str:
+    return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# word 3-gram shingles, distinct (mirrors operators.text.word_shingles n=3)
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+_SHINGLES3_CTE = f"""
+  toks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE length(text) > 0),
+  sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toks WHERE len(t) >= 3)
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform({_TOKS}, tok -> {_h64('tok')} % 2147483647)),
+             (a, b) -> (a * 131 + b) % 2147483647) AS fingerprint,
+           len({_TOKS}) AS n_tokens
+    FROM documents WHERE length(text) > 0
+"""
+
+def _min_exprs() -> str:
+    parts = []
+    for j in range(16):
+        seed = "'" + str(j) + ":' || x"
+        parts.append(f"list_min(list_transform(s, x -> {_h64(seed)})) AS m{j}")
+    return ", ".join(parts)
+
+
+_MINS = _min_exprs()
+
+ORACLES["dedup_minhash"] = f"""
+    WITH {_SHINGLES3_CTE},
+    sig AS (SELECT doc_id, {_MINS} FROM sh)
+    SELECT doc_id,
+           concat_ws(',', {', '.join(f'm{j}::VARCHAR' for j in range(16))})
+             AS signature
+    FROM sig
+"""
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, sha256("
+    + " || ',' || ".join(f"m{b * 4 + r}::VARCHAR" for r in range(4))
+    + ") AS band_hash FROM sig"
+    for b in range(4)
+)
+
+ORACLES["dedup_minhash_lsh"] = f"""
+    WITH {_SHINGLES3_CTE},
+    sig AS (SELECT doc_id, {_MINS} FROM sh),
+    bands AS ({_BANDS})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+_SIM_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(32)
+)
+_SIM_BITS = " + ".join(
+    f"CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+
+ORACLES["dedup_simhash"] = f"""
+    WITH ex AS (
+      SELECT doc_id, {_h64('tok')} AS h
+      FROM (SELECT doc_id,
+                   unnest(list_distinct({_TOKS})) AS tok
+            FROM documents WHERE length(text) > 0)
+    ),
+    g AS (SELECT doc_id, {_SIM_SUMS} FROM ex GROUP BY doc_id)
+    SELECT doc_id, ({_SIM_BITS})::BIGINT AS simhash FROM g
+"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH {_SHINGLES3_CTE},
+    sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE AS jaccard
+    FROM common
+    JOIN sizes sa ON common.doc_a = sa.doc_id
+    JOIN sizes sb ON common.doc_b = sb.doc_id
+    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.15
+"""
+
+_QUANT_CTE = """
+  q AS (SELECT vec_id,
+               list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+                 AS qv
+        FROM embeddings),
+  n AS (SELECT vec_id, qv,
+               list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))::BIGINT
+                 AS norm2
+        FROM q)
+"""
+_DOT_AB = "list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::BIGINT"
+
+ORACLES["embedding_near_dup"] = f"""
+    WITH {_QUANT_CTE},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DOT_AB} AS dot_q,
+             a.norm2 AS na, b.norm2 AS nb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, dot_q,
+           dot_q::DOUBLE / sqrt((na * nb)::DOUBLE) AS cosine
+    FROM pairs
+    WHERE dot_q::DOUBLE / sqrt((na * nb)::DOUBLE) >= 0.45
+"""
+
+ORACLES["ann_topk"] = f"""
+    WITH {_QUANT_CTE},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DOT_AB} AS dot_q,
+             a.norm2 AS qn, b.norm2 AS nn
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, dot_q,
+           dot_q::DOUBLE / sqrt((qn * nn)::DOUBLE) AS cosine
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def _plane_bits_sql() -> str:
+    from airbyte_module_spark.operators.similarity import plane_coeffs
+
+    bits = []
+    for p, coeffs in enumerate(plane_coeffs()):
+        lit = "[" + ", ".join(f"{c}::BIGINT" for c in coeffs) + "]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> qv[i] * ({lit})[i])) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(bits)
+
+
+ORACLES["ann_lsh_buckets"] = f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+               FROM embeddings)
+    SELECT vec_id, ({_plane_bits_sql()})::BIGINT AS bucket FROM q
+"""
+
+ORACLES["ann_topk_lsh"] = f"""
+    WITH {_QUANT_CTE},
+    bk AS (SELECT vec_id, ({_plane_bits_sql()})::BIGINT AS bucket
+           FROM (SELECT vec_id, qv FROM q) _t),
+    nb AS (SELECT n.vec_id, n.qv, n.norm2, bk.bucket
+           FROM n JOIN bk ON n.vec_id = bk.vec_id),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DOT_AB} AS dot_q,
+             a.norm2 AS qn, b.norm2 AS nn
+      FROM nb a JOIN nb b
+        ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, dot_q,
+           dot_q::DOUBLE / sqrt((qn * nn)::DOUBLE) AS cosine
+    FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["multimodal_meta"] = """
+    SELECT doc_id,
+           ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+           octet_length(encode(text))::BIGINT AS size_bytes,
+           (doc_id % 64 + 1)::BIGINT AS width,
+           (doc_id % 48 + 1)::BIGINT AS height,
+           sha256(text) AS payload_sha
+    FROM documents
+"""
+
+ORACLES["envelope_parse"] = """
+    SELECT event_id AS seq,
+           CASE WHEN event_type = 'signup' THEN 'i'
+                WHEN event_type = 'error' THEN 'd'
+                ELSE 'u' END AS op,
+           'org' || (user_id % 5)::VARCHAR || '/project'
+                 || (user_id % 23)::VARCHAR AS repo,
+           'src/file_' || user_id::VARCHAR || '.py' AS path,
+           substr(sha256(event_id::VARCHAR), 1, 40) AS commit,
+           event_type AS lang,
+           epoch_ms(ts) AS emitted_at,
+           CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content
+    FROM events
+"""
+
+ORACLES["merge_routing"] = """
+    WITH w AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC)
+               AS rn
+      FROM events WHERE event_id % 2 = 0
+    ),
+    target AS (SELECT user_id AS key_id, event_id AS tgt_event_id
+               FROM w WHERE rn = 1),
+    ws AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC)
+               AS rn
+      FROM events WHERE event_id % 2 = 1
+    ),
+    source AS (SELECT user_id AS key_id, event_id AS src_event_id,
+                      event_type AS src_type
+               FROM ws WHERE rn = 1)
+    SELECT s.key_id, s.src_event_id, t.tgt_event_id,
+           CASE WHEN t.tgt_event_id IS NOT NULL AND s.src_type = 'error'
+                  THEN 'delete'
+                WHEN t.tgt_event_id IS NOT NULL THEN 'update'
+                WHEN s.src_type <> 'error' THEN 'insert'
+                ELSE 'skip' END AS action
+    FROM source s LEFT JOIN target t ON s.key_id = t.key_id
+"""
+
+ORACLES["salted_join"] = """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events e JOIN customer c ON (e.user_id % 1500) = c.c_custkey
+    GROUP BY 1
+"""

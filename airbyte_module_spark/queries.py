@@ -233,6 +233,20 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- fingerprinting
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (order-sensitive polynomial hash
+    over the token stream) + token count."""
+    from airbyte_module_spark.operators.text import rolling_fingerprint, tokens
+
+    docs = _documents(spark, sf_dir).filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
 # ------------------------------------------------------------------- dedup
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized-content sha256; keeper = min
@@ -252,4 +266,223 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count("*").alias("n_copies"),
         )
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (16 hashes over word 3-gram shingles) per document,
+    rendered as a comma-joined string for cross-engine value comparison."""
+    from airbyte_module_spark.operators.dedup import N_MINHASHES, with_minhash
+
+    sig = with_minhash(_documents(spark, sf_dir))
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col(f"m{j}").cast("string") for j in range(N_MINHASHES)]
+        ).alias("signature"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate near-dup pairs: banded minhash bucket collisions
+    (4 bands x 4 rows), with the number of agreeing bands."""
+    from airbyte_module_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+        with_minhash,
+    )
+
+    sig = with_minhash(_documents(spark, sf_dir))
+    return lsh_candidate_pairs(minhash_bands(sig))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document over distinct tokens."""
+    from airbyte_module_spark.operators.dedup import simhash32
+
+    return simhash32(_documents(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join),
+    threshold 0.15."""
+    from airbyte_module_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=3, threshold=0.15
+    )
+
+
+# -------------------------------------------------------------- similarity
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (quantized exact math)."""
+    from airbyte_module_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.45)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from airbyte_module_spark.operators.similarity import ann_brute_force
+
+    out = ann_brute_force(_embeddings(spark, sf_dir), n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (8 deterministic planes)."""
+    from airbyte_module_spark.operators.similarity import lsh_buckets
+
+    return lsh_buckets(_embeddings(spark, sf_dir))
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors searched within the query's LSH bucket."""
+    from airbyte_module_spark.operators.similarity import ann_lsh
+
+    out = ann_lsh(_embeddings(spark, sf_dir), n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# -------------------------------------------------------------- multimodal
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction: kind, byte size, dimensions, and
+    the payload sha256 (the Spark-side blob plumbing; the featurizer path is
+    covered by pytest because mapInPandas is not SQL-expressible)."""
+    from airbyte_module_spark.operators.multimodal import synthesize_blobs
+
+    blobs = synthesize_blobs(_documents(spark, sf_dir))
+    return blobs.select(
+        "doc_id",
+        "kind",
+        F.col("meta.size_bytes").alias("size_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+# ------------------------------------------------------- envelope roundtrip
+def envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/P1/P2 end-to-end: render events as Airbyte envelope JSON lines
+    (JVM-side to_json), mix in LOG noise lines, parse back through the
+    engine's one-pass parser, and project the typed rows. The oracle derives
+    the same rows directly from the events table — so this cross-checks the
+    entire serialize -> filter -> parse -> project path."""
+    from airbyte_module_spark import model
+    from airbyte_module_spark.sources.feed import parse_envelopes_once
+
+    ev = _events(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("i"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    data = F.struct(
+        op.alias("op"),
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("org"), (F.col("user_id") % 5).cast("string"),
+                 F.lit("/project"), (F.col("user_id") % 23).cast("string")).alias("repo"),
+        F.concat(F.lit("src/file_"), F.col("user_id").cast("string"), F.lit(".py")).alias("path"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 40).alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.when(op == "d", F.lit(None).cast("string")).otherwise(F.col("props")).alias("content"),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.lit("RECORD").alias("type"),
+            F.struct(
+                F.lit("repo_files").alias("stream"),
+                F.lit("public").alias("namespace"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("emitted_at"),
+                data.alias("data"),
+            ).alias("record"),
+        )
+    )
+    noise = spark.range(100).select(
+        F.to_json(
+            F.struct(
+                F.lit("LOG").alias("type"),
+                F.struct(F.lit("INFO").alias("level")).alias("log"),
+            )
+        ).alias("value")
+    )
+    raw = ev.select(envelope.alias("value")).unionByName(noise)
+    parsed = parse_envelopes_once(raw, model.base_data_schema(), "repo_files")
+    return parsed.select(
+        F.col(model.META_SEQ).alias("seq"),
+        F.col(model.META_OP).alias("op"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.col(model.META_EMITTED).alias("emitted_at"),
+        "content",
+    )
+
+
+# ------------------------------------------------------------------- joins
+def merge_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 upsert-join preview: LWW winners of even events form the target,
+    LWW winners of odd events form the source batch; each source key is
+    routed to the MERGE action it would take (insert/update/delete/skip)."""
+    ev = _events(spark, sf_dir).withColumn("cursor_ms", _cursor())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cursor_ms").desc(), F.col("event_id").desc()
+    )
+
+    def winners(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    target = winners(ev.filter(F.col("event_id") % 2 == 0)).select(
+        F.col("user_id").alias("key_id"), F.col("event_id").alias("tgt_event_id")
+    )
+    source = winners(ev.filter(F.col("event_id") % 2 == 1)).select(
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("src_event_id"),
+        F.col("event_type").alias("src_type"),
+    )
+    joined = source.join(target, "key_id", "left")
+    action = (
+        F.when(F.col("tgt_event_id").isNotNull() & (F.col("src_type") == "error"), "delete")
+        .when(F.col("tgt_event_id").isNotNull(), "update")
+        .when(F.col("src_type") != "error", "insert")
+        .otherwise("skip")
+    )
+    return joined.select(
+        "key_id", "src_event_id", "tgt_event_id", action.alias("action")
+    )
+
+
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 skew-handled join: fact(events) -> dim(customer) equi-join executed
+    with explicit key salting (dim replicated per salt, fact salted by a
+    deterministic hash), then aggregated per market segment. The oracle runs
+    the *plain* join — equal results prove salting preserves join semantics."""
+    n_salt = 8
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 1500).alias("jk"),
+        F.pmod(F.col("event_id"), F.lit(n_salt)).alias("salt"),
+        "event_id",
+        "user_id",
+    )
+    cust = _customer(spark, sf_dir).select("c_custkey", "c_mktsegment")
+    salts = spark.range(n_salt).select(F.col("id").cast("bigint").alias("salt"))
+    dim = cust.crossJoin(F.broadcast(salts))
+    joined = ev.join(
+        dim, (F.col("jk") == F.col("c_custkey")) & (ev["salt"] == dim["salt"])
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
     )

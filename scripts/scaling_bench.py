@@ -80,6 +80,7 @@ def generate_feed(feed: str, n_events: int) -> None:
         spark, n_events, n_keys=max(n_events // 20, 1000), content_bytes=200
     ).repartition(64).write.mode("overwrite").text(feed)
     spark.stop()
+    print(json.dumps({"generated": n_events}))
 
 
 # --------------------------------------------------------------------- parent
