@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope_parse": Q.envelope_parse,
         "merge_routing": Q.merge_routing,
         "salted_join": Q.salted_join,
+        "schema_discovery": Q.schema_discovery,
     }
 
 

@@ -408,3 +408,11 @@ ORACLES["salted_join"] = """
     FROM events e JOIN customer c ON (e.user_id % 1500) = c.c_custkey
     GROUP BY 1
 """
+
+ORACLES["schema_discovery"] = """
+    SELECT table_name, column_name, data_type,
+           ordinal_position::BIGINT AS ordinal
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+"""

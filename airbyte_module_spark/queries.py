@@ -486,3 +486,44 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+# -------------------------------------------------------------- discovery
+def schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 schema discovery: infer every table's schema from its data files
+    (metadata-only parquet footer reads — the Spark analogue of the
+    reference's dockerized `discover` round-trip, abm/connector.py:176-180)
+    and render it in engine-neutral type names. The oracle reads the same
+    catalog from DuckDB's information_schema — matching output proves the
+    discovery is faithful, like the reference's catalog-vs-expected diff."""
+    from pyspark.sql import types as T
+
+    def type_name(dt: T.DataType) -> str:
+        mapping = {
+            T.LongType: "BIGINT",
+            T.IntegerType: "INTEGER",
+            T.StringType: "VARCHAR",
+            T.DoubleType: "DOUBLE",
+            T.FloatType: "FLOAT",
+            T.BooleanType: "BOOLEAN",
+            T.DateType: "DATE",
+            T.TimestampType: "TIMESTAMP",
+            T.TimestampNTZType: "TIMESTAMP",
+        }
+        if isinstance(dt, T.ArrayType):
+            return type_name(dt.elementType) + "[]"
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        return mapping[type(dt)]
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    rows = []
+    for t in tables:
+        for i, f_ in enumerate(spark.read.parquet(f"{sf_dir}/{t}.parquet").schema.fields):
+            rows.append((t, f_.name, type_name(f_.dataType), i + 1))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, data_type string, ordinal bigint"
+    )

@@ -37,33 +37,27 @@ sys.path.insert(0, REPO)
 
 
 # --------------------------------------------------------------------- worker
-def run_worker(cpus: int, feed: str, work: str, timed_runs: int = 2) -> None:
-    """One JVM at local[cpus]: replay the shared feed once untimed (HotSpot
-    warm pass — identical treatment at both parallelism levels), then
-    ``timed_runs`` steady-state replays into fresh tables; report the best."""
-    from airbyte_module_spark import Engine, get_spark
+def run_worker(cpus: int, feed: str, work: str) -> None:
+    """One JVM at local[cpus]: replay the shared feed into fresh tables until
+    wall-clock stabilizes (see bench.replay_until_steady — this sandbox's
+    JIT-compile phase is pathologically slow and must be excluded at BOTH
+    parallelism levels identically), then report the steady-state best."""
+    from airbyte_module_spark import get_spark
+    from bench import replay_until_steady
 
     spark = get_spark(
         app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     base = os.path.join(work, f"run-{cpus}-{os.getpid()}")
-    trials = []
-    n_final = None
-    for i in range(timed_runs + 1):  # run 0 is the untimed warm pass
-        eng = Engine(spark, f"{base}-table{i}", collect_lineage=True)
-        start = time.time()
-        eng.replay(feed, checkpoint_dir=f"{base}-ck{i}")
-        sec = time.time() - start
-        if i > 0:
-            trials.append(round(sec, 3))
-            n_final = eng.read().count()
+    os.makedirs(base, exist_ok=True)
+    trials, eng = replay_until_steady(spark, feed, base, tag=f"c{cpus}_")
     print(
         json.dumps(
             {
                 "cpus": cpus,
                 "replay_sec": min(trials),
                 "trials": trials,
-                "final_rows": n_final,
+                "final_rows": eng.read().count(),
                 "shuffle_partitions": cpus,
             }
         )
@@ -139,7 +133,8 @@ def main() -> None:
         efficiency = speedup / ratio
         out = {
             "protocol": f"same job, same input, local[{lo}] vs local[{hi}] "
-            "(fresh JVM per level), best of repeats",
+            "(fresh JVM per level), replay repeated to steady state per "
+            "BASELINE.md; steady-state best reported, full trial list kept",
             "n_events": args.events,
             "levels": {str(c): results[c] for c in levels},
             "speedup": round(speedup, 3),
@@ -164,15 +159,18 @@ def write_md(out: dict, levels: list[int]) -> None:
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Evidenced per BASELINE.md by running the identical CDC replay
-(envelope feed -> parse -> normalize -> sha256 -> LWW dedup -> MERGE into the
+(envelope feed -> parse -> LWW dedup -> normalize -> sha256 -> MERGE into the
 lake table) on the identical pre-generated input at two parallelism levels,
-each in a fresh JVM (best of {len(rl.get('trials', []))} trials, steady-state).
+each in a fresh JVM, repeated to steady state (BASELINE.md protocol: this
+sandbox's JIT phase is syscall-throttled; the full trial lists below show the
+ramp — a long-lived production executor lives entirely in the steady state).
 
 | config | local[{lo}] (N) | local[{hi}] (4N) |
 |---|---|---|
 | events replayed | {out['n_events']:,} | {out['n_events']:,} |
-| replay wall-clock (s) | {rl['replay_sec']} | {rh['replay_sec']} |
+| steady-state replay wall-clock (s) | {rl['replay_sec']} | {rh['replay_sec']} |
 | events/sec | {rl['events_per_sec']:,} | {rh['events_per_sec']:,} |
+| all trials (s, ramp visible) | {rl.get('trials')} | {rh.get('trials')} |
 | shuffle partitions | {rl['shuffle_partitions']} | {rh['shuffle_partitions']} |
 | final table rows | {rl['final_rows']:,} | {rh['final_rows']:,} |
 
