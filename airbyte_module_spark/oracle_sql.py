@@ -185,10 +185,18 @@ ORACLES["doc_fingerprint"] = f"""
 """
 
 def _min_exprs() -> str:
+    # mirrors operators.dedup.minhash_signature: m_{4g+r} = min over shingles
+    # of the r-th 15-hex slice of sha256(g ':' shingle)
     parts = []
-    for j in range(16):
-        seed = "'" + str(j) + ":' || x"
-        parts.append(f"list_min(list_transform(s, x -> {_h64(seed)})) AS m{j}")
+    for g in range(4):
+        for r in range(4):
+            start = 1 + 15 * r
+            expr = (
+                f"('0x' || substr(sha256('{g}:' || x), {start}, 15))::BIGINT"
+            )
+            parts.append(
+                f"list_min(list_transform(s, x -> {expr})) AS m{4 * g + r}"
+            )
     return ", ".join(parts)
 
 

@@ -30,11 +30,14 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-        shuffle_partitions = os.cpu_count() or 8 if n == "*" else int(n)
+        shuffle_partitions = os.cpu_count() or 8 if n == "*" or n == "_" else int(n)
 
+    # "__submitted__": keep the master provided by spark-submit untouched
+    builder = SparkSession.builder
+    if master != "__submitted__":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -109,9 +109,12 @@ def main() -> None:
 
         q_times: dict[str, float] = {}
         for name, fn in entry_mod.queries().items():
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            q_times[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: first run pays codegen compile
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            q_times[name] = round(best, 3)
 
         scaling = None
         scaling_path = os.path.join(REPO, "BENCH", "scaling.json")

@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the `.explain` discipline as tests.
+
+At 100 TB the plan IS the product: these tests pin the properties that make
+the engine scale (filter/column pushdown to the parquet scan, exactly one
+exchange in the ingest batch path, broadcast for the replicated-dim salted
+join, no row-at-a-time Python anywhere) so a regression shows up as a test
+failure, not as a 10x slowdown on the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select("event_id")
+    )
+    plan = optimized_formatted(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,error)" in plan.replace(" ", "").replace(
+        "EqualTo(event_type,'error')", "EqualTo(event_type,error)"
+    ) or "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    # column pruning: the scan must read only the referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_ingest_batch_path_single_exchange(spark, tmp_path):
+    """parse -> bucket -> repartition(bucket) -> LWW window: the window must
+    reuse the bucket-hash partitioning (subset-clustering), so the whole
+    batch pipeline contains exactly ONE shuffle."""
+    from airbyte_module_spark import model
+    from airbyte_module_spark.lake.table import bucket_expr, dedup_lww
+    from airbyte_module_spark.sources.feed import parse_envelopes_once
+    from airbyte_module_spark.sources.generator import FeedSpec, generate_feed
+
+    generate_feed(FeedSpec(seed=5, n_events=200), str(tmp_path / "feed"))
+    raw = spark.read.text(str(tmp_path / "feed"))
+    parsed = parse_envelopes_once(raw).withColumn(
+        model.BUCKET_COLUMN, bucket_expr(32, ["repo", "path"])
+    )
+    winners = dedup_lww(
+        parsed.repartition(32, F.col(model.BUCKET_COLUMN)),
+        [model.BUCKET_COLUMN, "repo", "path"],
+    )
+    plan = physical(winners)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+
+
+def test_salted_join_broadcasts_replicated_dim(spark):
+    from airbyte_module_spark import queries as Q
+
+    plan = physical(Q.salted_join(spark, SF))
+    assert "Broadcast" in plan, plan
+
+
+def test_no_row_python_in_any_query(spark):
+    """Every oracle-checked query must stay JVM-side or Arrow-batched —
+    BatchEvalPython (row-at-a-time UDF execution) must never appear."""
+    import __spark_entry__ as entry_mod
+
+    for name, fn in entry_mod.queries().items():
+        plan = physical(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time python"
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    from airbyte_module_spark.operators.similarity import ann_brute_force
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical(ann_brute_force(emb, n_queries=5, k=3))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize("use_pandas", [False, True])
+def test_pipeline_transform_vectorized(spark, use_pandas, tmp_path):
+    """The normalize+sha transform is either pure codegen (expression form,
+    zero Python) or ArrowEvalPython (pandas-UDF form) — never BatchEval."""
+    from airbyte_module_spark import Engine
+
+    eng = Engine(
+        spark, str(tmp_path / f"t{use_pandas}"), use_pandas_udfs=use_pandas
+    )
+    df = spark.createDataFrame(
+        [("r", "p", "c", "py", "x\r\ny ")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    out = eng.pipeline.transform(df)
+    plan = physical(out)
+    assert "BatchEvalPython" not in plan
+    if use_pandas:
+        assert "ArrowEvalPython" in plan
+    else:
+        assert "Python" not in plan
