@@ -87,13 +87,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": Q.dedup_simhash,
         "dedup_ngram_jaccard": Q.dedup_ngram_jaccard,
         "embedding_near_dup": Q.embedding_near_dup,
+        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,
         "ann_topk": Q.ann_topk,
         "ann_lsh_buckets": Q.ann_lsh_buckets,
         "ann_topk_lsh": Q.ann_topk_lsh,
+        "ann_topk_multiprobe": Q.ann_topk_multiprobe,
+        "ann_ivf_cells": Q.ann_ivf_cells,
+        "ann_topk_ivf": Q.ann_topk_ivf,
         "multimodal_meta": Q.multimodal_meta,
         "envelope_parse": Q.envelope_parse,
         "merge_routing": Q.merge_routing,
         "salted_join": Q.salted_join,
+        "file_roundtrip_csv": Q.file_roundtrip_csv,
         "schema_discovery": Q.schema_discovery,
     }
 

@@ -9,6 +9,9 @@ HTTP/Flight surface (SURVEY.md §2.10):
 | (no reference analogue — north rule)          | ``Engine.write(df, "upsert")``   |
 | get_flight_info (schema discovery)            | ``Engine.schema()``      |
 | connector read loop                           | ``Engine.replay/tail()`` |
+| source-file / destination-csv,-local-json     | ``Engine.read_file/write_file`` |
+| source-mysql/-postgres, destination-mysql     | ``sources.jdbc.read_jdbc/write_jdbc`` |
+| post-write dbt normalization container        | ``post_merge_hook=``     |
 
 The reference's append/overwrite sync modes (``/root/reference/abm/
 server.py:182-187``) are special cases of the MERGE sink; schema discovery
@@ -79,6 +82,35 @@ class Engine:
     def lineage(self) -> list[dict]:
         return self.table.lineage()
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change rows applied between two snapshots (CDC-consumer read) —
+        see :meth:`LakeTable.changes`."""
+        return self.table.changes(from_version, to_version)
+
+    # ----------------------------------------------------------------- files
+    def read_file(self, path: str, format: str = "csv", schema=None, **options) -> DataFrame:
+        """Read a csv/json/parquet/text file or directory (reference
+        source-file connector, ``/root/reference/sample/sample.yaml:4-10``)."""
+        from airbyte_module_spark.sources.files import read_file
+
+        return read_file(self.spark, path, format=format, schema=schema, **options)
+
+    def write_file(self, df: DataFrame, path: str, format: str = "csv",
+                   mode: str = "overwrite", **options) -> None:
+        """Write a DataFrame as csv/json/parquet/text files (reference
+        destination-csv / destination-local-json connectors,
+        ``/root/reference/sample/write_config.yaml:4-8``)."""
+        from airbyte_module_spark.sources.files import write_file
+
+        write_file(df, path, format=format, mode=mode, **options)
+
+    # ------------------------------------------------------------ maintenance
+    def maintenance(self) -> int | None:
+        """Compact buckets whose delta count crossed the threshold. Runs only
+        when called — never inside merge — so ingest batches are never
+        stalled; schedule it as a background job at cluster scale."""
+        return self.table.maintenance()
+
     # --------------------------------------------------------------- writing
     def write(self, df: DataFrame, mode: str = "append") -> int | None:
         """Write a plain DataFrame of user rows.
@@ -110,9 +142,12 @@ class Engine:
         )
         if "content" in df.columns:
             changes = self.pipeline.transform(changes)
-        return self.table.merge(
+        version = self.table.merge(
             changes, batch_id=now_ms, checkpoint_id=f"write-{mode}"
         )
+        if version is not None and self.pipeline.post_merge_hook is not None:
+            self.pipeline.post_merge_hook(self.table, version)
+        return version
 
     def _truncate(self) -> None:
         snap = self.table.current_snapshot()

@@ -8,8 +8,11 @@ v2 table and everything above it is unchanged):
 
 - **Snapshots**: every commit writes an immutable ``_meta/snap-{v}.json``
   listing (bucket → data dirs); readers resolve the current snapshot through
-  an atomically-replaced pointer file (``os.replace``; a production catalog
-  does this CAS server-side). Time travel = read an older snapshot.
+  an atomically-swapped pointer behind the ``lake/catalog.py`` interface
+  (POSIX ``os.replace`` here; an object-store catalog does the same CAS with
+  conditional PUTs). Manifest entries are computed from the write plan, never
+  from directory listings. Time travel = read an older snapshot;
+  ``changes(v1, v2)`` reads just the delta between two snapshots.
 - **Hidden partitioning**: rows are hash-bucketed on the identity key
   ``pmod(xxhash64(repo, path), n_buckets)`` — the analogue of Iceberg
   ``bucket(N, repo, path)``. A merge touches only the buckets its batch
@@ -19,7 +22,9 @@ v2 table and everything above it is unchanged):
   buckets per merge (read-optimized); ``mode="mor"`` appends LWW-deduped
   delta files per merge (write-optimized — the 10^10-event ingest path) and
   resolves winners at read time with a window, exactly like Iceberg MoR with
-  equality deletes; ``compact()`` folds deltas into bases.
+  equality deletes; ``maintenance()``/``compact()`` fold deltas into bases —
+  ONLY when explicitly invoked (background-job shape), never inline in
+  ``merge()``, so ingest batches are never stalled by compaction.
 - **Deletes are tombstones** (rows with ``_ab_op='d'`` kept internally,
   filtered from user reads). This makes the final state a pure function of
   the event set — independent of batch boundaries, arrival order, and
@@ -49,12 +54,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airbyte_module_spark import model
+from airbyte_module_spark.lake.catalog import ConcurrentCommitError, FileCatalog
 
-_POINTER = "current"
-
-
-class ConcurrentCommitError(RuntimeError):
-    pass
+__all__ = ["LakeTable", "ConcurrentCommitError", "bucket_expr", "dedup_lww"]
 
 
 def bucket_expr(n_buckets: int, key_columns: list[str]):
@@ -80,7 +82,7 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.meta_dir = os.path.join(path, "_meta")
+        self.catalog = FileCatalog(os.path.join(path, "_meta"))
 
     # ------------------------------------------------------------------ meta
     @classmethod
@@ -100,8 +102,8 @@ class LakeTable:
         if schema is None:
             schema = model.table_schema(model.base_data_schema())
         t = cls(spark, path)
-        os.makedirs(t.meta_dir, exist_ok=True)
-        if os.path.exists(os.path.join(t.meta_dir, _POINTER)):
+        t.catalog.initialize()
+        if t.catalog.exists():
             raise FileExistsError(f"table already exists at {path}")
         snap = {
             "version": 0,
@@ -127,15 +129,13 @@ class LakeTable:
         return t
 
     def current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, _POINTER)) as f:
-            return int(f.read().strip())
+        return self.catalog.read_pointer()
 
     def current_snapshot(self) -> dict:
         return self.snapshot(self.current_version())
 
     def snapshot(self, version: int) -> dict:
-        with open(os.path.join(self.meta_dir, f"snap-{version}.json")) as f:
-            return json.load(f)
+        return self.catalog.read_snapshot(version)
 
     def schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.current_snapshot()
@@ -152,22 +152,9 @@ class LakeTable:
         return list(self.current_snapshot()["properties"].get("key_columns", model.KEY_COLUMNS))
 
     def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
-        """Commit protocol: persist the immutable snapshot file, then swap the
-        pointer atomically (os.replace). The parent check gives optimistic
-        concurrency on a shared filesystem; a production catalog performs the
-        equivalent compare-and-swap transactionally."""
-        ptr = os.path.join(self.meta_dir, _POINTER)
-        if expected_parent is not None and self.current_version() != expected_parent:
-            raise ConcurrentCommitError(
-                f"snapshot moved past v{expected_parent}; retry the merge"
-            )
-        snap_file = os.path.join(self.meta_dir, f"snap-{snap['version']}.json")
-        with open(snap_file + ".tmp", "w") as f:
-            json.dump(snap, f)
-        os.replace(snap_file + ".tmp", snap_file)
-        with open(ptr + ".tmp", "w") as f:
-            f.write(str(snap["version"]))
-        os.replace(ptr + ".tmp", ptr)
+        """Commit protocol: delegate snapshot persistence + pointer CAS to the
+        catalog (see lake/catalog.py for the object-store contract)."""
+        self.catalog.publish(snap, expected_parent)
 
     # ------------------------------------------------------------------ read
     def _read_entries(
@@ -216,7 +203,11 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
     def _stage_write(
-        self, df: DataFrame, version: int, pre_partitioned: bool = False
+        self,
+        df: DataFrame,
+        version: int,
+        pre_partitioned: bool = False,
+        buckets: list[int] | None = None,
     ) -> list[dict]:
         """Write rows grouped per bucket under a fresh commit dir; return
         snapshot entries [{dir, bucket, kind(placeholder)}].
@@ -228,7 +219,22 @@ class LakeTable:
         already hash-partitioned on the bucket column (the ingest pipeline's
         single shuffle), so the write adds no exchange and each bucket lands
         in exactly one file per commit.
+
+        Manifest entries are computed from ``buckets`` — the bucket set of
+        the staged rows, known to the caller (merge affects exactly the
+        batch's buckets; compaction rewrites exactly the selected buckets) or
+        derived here with one metadata-sized distinct — NEVER by listing the
+        output directory afterwards: directory listing is both slow and
+        non-atomic on object stores (Iceberg manifests are likewise derived
+        from the write plan, not from LIST calls). Callers passing
+        ``buckets`` guarantee every listed bucket has >= 1 row.
         """
+        if buckets is None:
+            buckets = [
+                r[0] for r in df.select(model.BUCKET_COLUMN).distinct().collect()
+            ]
+        if not buckets:
+            return []
         commit_dir = f"data/commit-{version}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, commit_dir)
         staged = df if pre_partitioned else df.repartition(model.BUCKET_COLUMN)
@@ -237,13 +243,10 @@ class LakeTable:
             .write.partitionBy("_pb")
             .parquet(out)
         )
-        entries = []
-        for name in sorted(os.listdir(out)):
-            if name.startswith("_pb="):
-                entries.append(
-                    {"dir": f"{commit_dir}/{name}", "bucket": int(name.split("=")[1])}
-                )
-        return entries
+        return [
+            {"dir": f"{commit_dir}/_pb={int(b)}", "bucket": int(b)}
+            for b in sorted(buckets)
+        ]
 
     def with_bucket(self, df: DataFrame) -> DataFrame:
         keys = self.key_columns or [c for c in df.columns if c != model.BUCKET_COLUMN]
@@ -315,14 +318,20 @@ class LakeTable:
             merged = target.unionByName(winners)
             if keys:
                 merged = dedup_lww(merged, keys)
-            entries = self._stage_write(merged, new_version)
+            entries = self._stage_write(merged, new_version, buckets=buckets)
             for e in entries:
                 e["kind"] = "base"
             kept = [e for e in snap["entries"] if e["bucket"] not in set(buckets)]
             new_entries = kept + entries
         else:  # mor
+            # the batch's bucket set is already known from the lineage agg
+            # (events and winners hit identical buckets: every event bucket
+            # keeps >= 1 LWW winner); without lineage, one distinct job
             entries = self._stage_write(
-                winners, new_version, pre_partitioned=pre_partitioned
+                winners,
+                new_version,
+                pre_partitioned=pre_partitioned,
+                buckets=lineage.get("buckets") if lineage else None,
             )
             for e in entries:
                 e["kind"] = "delta"
@@ -337,17 +346,36 @@ class LakeTable:
             "lineage": (snap["lineage"] + [lineage])[-200:] if lineage else snap["lineage"],
         }
         self._write_snapshot(new_snap, expected_parent=snap["version"])
-
-        if mode == "mor":
-            per_bucket: dict[int, int] = {}
-            for e in new_entries:
-                if e["kind"] == "delta":
-                    per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
-            limit = int(snap["properties"].get("compact_after_deltas", 8))
-            hot = [b for b, n in per_bucket.items() if n >= limit]
-            if hot:
-                self.compact(buckets=hot)
+        # NOTE: merge never compacts inline — a hot bucket crossing the delta
+        # threshold must not stall the ingest batch. Run maintenance() from a
+        # background/maintenance job (the streaming pipeline schedules it
+        # between batches, off the commit path).
         return new_version
+
+    def buckets_needing_compaction(self, limit: int | None = None) -> list[int]:
+        """Buckets whose delta-file count has reached ``limit`` (defaults to
+        the table's ``compact_after_deltas`` property)."""
+        snap = self.current_snapshot()
+        if snap["properties"]["mode"] != "mor":
+            return []
+        if limit is None:
+            limit = int(snap["properties"].get("compact_after_deltas", 8))
+        per_bucket: dict[int, int] = {}
+        for e in snap["entries"]:
+            if e["kind"] == "delta":
+                per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+        return sorted(b for b, n in per_bucket.items() if n >= limit)
+
+    def maintenance(self) -> int | None:
+        """Explicit maintenance entry point (the Iceberg ``rewrite_data_files``
+        analogue): compact every bucket at/over the delta threshold. Returns
+        the new snapshot version, or None if nothing needed compaction. At
+        cluster scale this runs as a scheduled background job — never inside
+        ``merge()``."""
+        hot = self.buckets_needing_compaction()
+        if not hot:
+            return None
+        return self.compact(buckets=hot)
 
     def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project a change batch onto the table schema: missing columns
@@ -408,7 +436,7 @@ class LakeTable:
         keys = snap["properties"].get("key_columns", model.KEY_COLUMNS)
         df = dedup_lww(df, keys) if keys else df
         new_version = snap["version"] + 1
-        entries = self._stage_write(df, new_version)
+        entries = self._stage_write(df, new_version, buckets=sel)
         for e in entries:
             e["kind"] = "base"
         kept = [e for e in snap["entries"] if e["bucket"] not in set(sel)]
@@ -422,6 +450,41 @@ class LakeTable:
         return new_version
 
     # ------------------------------------------------------------- utilities
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Net change rows applied between two snapshots — the CDC-consumer
+        read (the engine-side analogue of the reference's Flight ``do_get``,
+        but incremental: the reference re-reads full state per request,
+        ``/root/reference/abm/server.py:140-159``).
+
+        Returns one row per key changed in ``(from_version, to_version]``,
+        LWW-resolved across the range, metadata columns (op/cursor/seq)
+        retained so deletes are visible as tombstone rows. Only valid while
+        the delta history for the range is intact: if a compaction or
+        copy-on-write rewrite folded files inside the range, raises
+        ValueError (consumers must then fall back to a full-state read —
+        same contract as Iceberg's changelog scan across rewrites)."""
+        to_snap = (
+            self.current_snapshot() if to_version is None else self.snapshot(to_version)
+        )
+        from_snap = self.snapshot(from_version)
+        old_dirs = {e["dir"] for e in from_snap["entries"]}
+        new_dirs = {e["dir"] for e in to_snap["entries"]}
+        new_entries = [e for e in to_snap["entries"] if e["dir"] not in old_dirs]
+        if (old_dirs - new_dirs) or any(e["kind"] != "delta" for e in new_entries):
+            raise ValueError(
+                f"delta history between v{from_version} and "
+                f"v{to_snap['version']} was rewritten (compaction or COW "
+                "merge); read the full state instead"
+            )
+        schema = self.schema(to_snap)
+        df = self._read_entries(new_entries, schema, buckets=None)
+        keys = to_snap["properties"].get("key_columns", model.KEY_COLUMNS)
+        if keys:
+            df = dedup_lww(df, keys)
+        return df.drop(model.BUCKET_COLUMN)
+
     def lineage(self) -> list[dict]:
         return self.current_snapshot()["lineage"]
 

@@ -125,25 +125,30 @@ def minhash_bands(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Near-dup candidate pairs from band-bucket collisions, with the number
-    of agreeing bands kept as evidence strength.
+#: Default group-size cap for pair expansion. A bucket/posting list of k docs
+#: emits k²/2 pairs AND materializes a k-element array in one row, so both are
+#: bounded. 512 is far above any true near-dup cluster (oversized groups are
+#: boilerplate/stop-shingles, not near-dups) yet caps one group's cost at
+#: ~131k pairs / ~4 KB of array. The CORRECTNESS gates run on corpora smaller
+#: than the cap, so capped and uncapped results are identical there.
+MAX_GROUP_SIZE = 512
 
-    Formulated as groupBy(bucket) → sorted doc list → in-bucket pair
-    expansion (flatten/transform), NOT a self-join: the signature pipeline
-    is evaluated once instead of once per join side, and pair generation is
-    output-linear per bucket. A pathological bucket with k docs emits k²/2
-    pairs either way — at corpus scale cap the bucket size (drop buckets
-    over a few hundred docs: they are boilerplate, not near-dups)."""
-    buckets = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
+
+def _expand_pairs(grouped: DataFrame, max_group_size: int | None) -> DataFrame:
+    """Sorted-doc-list groups → (doc_a < doc_b) pairs with collision counts.
+
+    Shared pair-expansion tail of :func:`lsh_candidate_pairs` and
+    :func:`ngram_jaccard_pairs`: in-list expansion (flatten/transform), NOT a
+    self-join, so the upstream pipeline is evaluated once and pair generation
+    is output-linear per group. Groups larger than ``max_group_size`` are
+    dropped — never silently: count them with :func:`oversize_groups` and log
+    alongside the job."""
+    if max_group_size is not None:
+        grouped = grouped.filter(F.size("docs") <= max_group_size)
     docs_col = F.col("docs")
     # two-parameter transform lambda receives (element, 0-based index);
     # pairing each doc with every later doc in the sorted list gives
-    # doc_a < doc_b exactly once per bucket
+    # doc_a < doc_b exactly once per group
     pair_structs = F.flatten(
         F.transform(
             docs_col,
@@ -154,9 +159,44 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
         )
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared_bands"))
+        .agg(F.count("*").alias("n_collisions"))
+    )
+
+
+def oversize_groups(grouped: DataFrame, max_group_size: int) -> DataFrame:
+    """Diagnostic for the cap in :func:`_expand_pairs`: the dropped groups
+    with their sizes, so a production job can count/log what was truncated
+    (no silent caps). Works on any (group keys..., docs) grouping."""
+    return grouped.filter(F.size("docs") > max_group_size).select(
+        *[c for c in grouped.columns if c != "docs"],
+        F.size("docs").alias("n_docs"),
+    )
+
+
+def lsh_band_buckets(bands: DataFrame) -> DataFrame:
+    """(band, band_hash, docs): colliding docs per LSH bucket, sorted."""
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = MAX_GROUP_SIZE
+) -> DataFrame:
+    """Near-dup candidate pairs from band-bucket collisions, with the number
+    of agreeing bands kept as evidence strength.
+
+    Buckets larger than ``max_bucket_size`` (boilerplate, not near-dups) are
+    dropped before pair expansion, bounding both the per-row array size and
+    the k²/2 pair blow-up at corpus scale; audit the drops with
+    ``oversize_groups(lsh_band_buckets(bands), max_bucket_size)``."""
+    buckets = lsh_band_buckets(bands)
+    return _expand_pairs(buckets, max_bucket_size).withColumnRenamed(
+        "n_collisions", "n_shared_bands"
     )
 
 
@@ -193,48 +233,55 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return g.select("doc_id", fp.alias("simhash"))
 
 
+def shingle_postings(
+    docs: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Inverted index: (shingle, docs) posting lists over word n-grams,
+    restricted to shingles appearing in >= 2 docs. The posting-list size IS
+    the document frequency, so the ngram_jaccard df-cap is one filter here."""
+    sh = docs.filter(F.length(text_col) > 0).select(
+        "doc_id", word_shingles(F.col(text_col), n=n).alias("sh")
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    return (
+        ex.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 2, threshold: float = 0.15
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.15,
+    max_doc_freq: int | None = MAX_GROUP_SIZE,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
     via an inverted-index self-join (explode shingles → equi-join on the
     shingle → count common), thresholded.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — a single division of exact integer
-    counts, so the value is IEEE-identical across engines. At very large
-    corpora, cap the document frequency of inverted-index shingles (drop
-    shingles in > K docs) or run it only on LSH candidates; exactness is
-    unchanged for the surviving pairs.
+    counts, so the value is IEEE-identical across engines.
+
+    Shingles with document frequency > ``max_doc_freq`` are dropped from the
+    index (a stop-shingle in k docs would materialize a k-element posting
+    list in one row AND emit k²/2 pairs): for surviving pairs jaccard is
+    computed over the FULL shingle sets, so values stay exact — only recall
+    of pairs whose sole common shingles are stop-shingles is affected. Audit
+    drops with ``oversize_groups(shingle_postings(...), max_doc_freq)``.
 
     The inverted index is groupBy(shingle) → sorted posting list → in-list
     pair expansion (the same shape as lsh_candidate_pairs), not a self-join:
     one pass over the exploded shingles instead of two, measured 1.9x
-    faster. The posting-list size IS the document frequency, so the scale
-    cap above is one extra filter."""
+    faster."""
     sh = docs.filter(F.length(text_col) > 0).select(
         "doc_id", word_shingles(F.col(text_col), n=n).alias("sh")
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    postings = (
-        ex.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
-    dc = F.col("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            dc,
-            lambda x, i: F.transform(
-                F.slice(dc, i + F.lit(2), F.size(dc)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    common = (
-        postings.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    postings = shingle_postings(docs, text_col, n)
+    common = _expand_pairs(postings, max_doc_freq).withColumnRenamed(
+        "n_collisions", "n_common"
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))

@@ -295,17 +295,16 @@ ORACLES["ann_topk"] = f"""
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              {_DOT_AB} AS dot_q,
-             a.norm2 AS qn, b.norm2 AS nn
+             ({_DOT_AB})::DOUBLE / sqrt((a.norm2 * b.norm2)::DOUBLE) AS cosine
       FROM n a JOIN n b ON b.vec_id <> a.vec_id
       WHERE a.vec_id < 10
     ),
     ranked AS (
       SELECT *, row_number() OVER (
-               PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, rank, dot_q,
-           dot_q::DOUBLE / sqrt((qn * nn)::DOUBLE) AS cosine
+    SELECT query_id, neighbor_id, rank, dot_q, cosine
     FROM ranked WHERE rank <= 5
 """
 
@@ -331,28 +330,157 @@ ORACLES["ann_lsh_buckets"] = f"""
     SELECT vec_id, ({_plane_bits_sql()})::BIGINT AS bucket FROM q
 """
 
-ORACLES["ann_topk_lsh"] = f"""
-    WITH {_QUANT_CTE},
-    bk AS (SELECT vec_id, ({_plane_bits_sql()})::BIGINT AS bucket
+_NB_CTE = f"""
+    bk AS (SELECT vec_id, ({{planes}})::BIGINT AS bucket
            FROM (SELECT vec_id, qv FROM q) _t),
     nb AS (SELECT n.vec_id, n.qv, n.norm2, bk.bucket
-           FROM n JOIN bk ON n.vec_id = bk.vec_id),
+           FROM n JOIN bk ON n.vec_id = bk.vec_id)
+"""
+
+ORACLES["ann_topk_lsh"] = f"""
+    WITH {_QUANT_CTE},
+    {_NB_CTE.format(planes=_plane_bits_sql())},
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              {_DOT_AB} AS dot_q,
-             a.norm2 AS qn, b.norm2 AS nn
+             ({_DOT_AB})::DOUBLE / sqrt((a.norm2 * b.norm2)::DOUBLE) AS cosine
       FROM nb a JOIN nb b
         ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
       WHERE a.vec_id < 10
     ),
     ranked AS (
       SELECT *, row_number() OVER (
-               PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, rank, dot_q,
-           dot_q::DOUBLE / sqrt((qn * nn)::DOUBLE) AS cosine
+    SELECT query_id, neighbor_id, rank, dot_q, cosine
     FROM ranked WHERE rank <= 5
+"""
+
+_PROBE_LIST = "[bucket, " + ", ".join(f"xor(bucket, {1 << p})" for p in range(8)) + "]"
+
+ORACLES["ann_topk_multiprobe"] = f"""
+    WITH {_QUANT_CTE},
+    {_NB_CTE.format(planes=_plane_bits_sql())},
+    probes AS (
+      SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2,
+             unnest({_PROBE_LIST}) AS pbucket
+      FROM nb WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT a.query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+                 i -> a.q_qv[i] * b.qv[i]))::BIGINT AS dot_q,
+             list_sum(list_transform(range(1, 65),
+                 i -> a.q_qv[i] * b.qv[i]))::DOUBLE
+               / sqrt((a.q_norm2 * b.norm2)::DOUBLE) AS cosine
+      FROM probes a JOIN nb b
+        ON b.bucket = a.pbucket AND b.vec_id <> a.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, dot_q, cosine
+    FROM ranked WHERE rank <= 5
+"""
+
+_IVF_CTE = """
+    cents AS (SELECT vec_id AS cell, qv AS cv, norm2 AS cn
+              FROM n WHERE vec_id < 64),
+    simall AS (
+      SELECT n.vec_id, n.qv, n.norm2, c.cell,
+             list_sum(list_transform(range(1, 65),
+                 i -> n.qv[i] * c.cv[i]))::DOUBLE
+               / sqrt((n.norm2 * c.cn)::DOUBLE) AS s
+      FROM n, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, qv, norm2, cell FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM simall
+      ) WHERE rn = 1
+    )
+"""
+
+ORACLES["ann_ivf_cells"] = f"""
+    WITH {_QUANT_CTE},
+    {_IVF_CTE}
+    SELECT vec_id, cell FROM assigned
+"""
+
+ORACLES["ann_topk_ivf"] = f"""
+    WITH {_QUANT_CTE},
+    {_IVF_CTE},
+    probes AS (
+      SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2, cell FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY s DESC, cell) AS pr
+        FROM simall WHERE vec_id < 10
+      ) WHERE pr <= 8
+    ),
+    scored AS (
+      SELECT a.query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+                 i -> a.q_qv[i] * b.qv[i]))::BIGINT AS dot_q,
+             list_sum(list_transform(range(1, 65),
+                 i -> a.q_qv[i] * b.qv[i]))::DOUBLE
+               / sqrt((a.q_norm2 * b.norm2)::DOUBLE) AS cosine
+      FROM probes a JOIN assigned b
+        ON b.cell = a.cell AND b.vec_id <> a.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, dot_q, cosine
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def _band_bucket_sqls(n_bands: int = 4, rows_per_band: int = 4) -> list[str]:
+    """Mirror of operators.similarity.banded_buckets: per-band bucket value
+    from the same 16 deterministic hyperplanes."""
+    from airbyte_module_spark.operators.similarity import plane_coeffs
+
+    planes = plane_coeffs(n_bands * rows_per_band)
+    exprs = []
+    for b in range(n_bands):
+        bits = []
+        for r in range(rows_per_band):
+            lit = "[" + ", ".join(f"{c}::BIGINT" for c in planes[b * rows_per_band + r]) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, 65), "
+                f"i -> qv[i] * ({lit})[i])) >= 0 THEN {1 << r} ELSE 0 END"
+            )
+        exprs.append("(" + " + ".join(bits) + ")::BIGINT")
+    return exprs
+
+
+_B0, _B1, _B2, _B3 = _band_bucket_sqls()
+
+ORACLES["embedding_near_dup_lsh"] = f"""
+    WITH {_QUANT_CTE},
+    bb AS (
+      SELECT vec_id, qv, norm2,
+             {_B0} AS b0, {_B1} AS b1, {_B2} AS b2, {_B3} AS b3
+      FROM n
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DOT_AB} AS dot_q,
+             a.norm2 AS na, b.norm2 AS nb2
+      FROM bb a JOIN bb b
+        ON a.vec_id < b.vec_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT vec_a, vec_b, dot_q,
+           dot_q::DOUBLE / sqrt((na * nb2)::DOUBLE) AS cosine
+    FROM pairs
+    WHERE dot_q::DOUBLE / sqrt((na * nb2)::DOUBLE) >= 0.45
 """
 
 ORACLES["multimodal_meta"] = """
@@ -415,6 +543,11 @@ ORACLES["salted_join"] = """
            max(event_id) AS max_event_id
     FROM events e JOIN customer c ON (e.user_id % 1500) = c.c_custkey
     GROUP BY 1
+"""
+
+ORACLES["file_roundtrip_csv"] = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
 """
 
 ORACLES["schema_discovery"] = """

@@ -319,10 +319,21 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (quantized exact math)."""
+    """Embedding-cosine near-duplicate pairs (quantized exact math) —
+    the exact all-pairs VERIFIER form (O(N²)); the scale path is
+    :func:`embedding_near_dup_lsh`."""
     from airbyte_module_spark.operators.similarity import near_dup_pairs
 
     return near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.45)
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB path):
+    candidates from bucket collisions via a bucket-equi self-join — no
+    nested-loop join anywhere in the plan (pinned by test_plan_shapes)."""
+    from airbyte_module_spark.operators.similarity import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(_embeddings(spark, sf_dir), threshold=0.45)
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +356,34 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_module_spark.operators.similarity import ann_lsh
 
     out = ann_lsh(_embeddings(spark, sf_dir), n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors, multi-probe: the query's bucket plus all
+    8 Hamming-distance-1 buckets (lifts single-probe recall; the
+    recall-strong scale path is :func:`ann_topk_ivf` — see the measured
+    comparison in operators/similarity.py::ann_ivf)."""
+    from airbyte_module_spark.operators.similarity import ann_lsh
+
+    out = ann_lsh(_embeddings(spark, sf_dir), n_queries=10, k=5, multiprobe=True)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment: cell id per vector (argmax cosine to
+    the 64 deterministic centroids)."""
+    from airbyte_module_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_embeddings(spark, sf_dir)).select("vec_id", "cell")
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (nprobe=8 of 64 cells) — recall@5 0.88 at 12%
+    of the corpus scanned (pytest recall gate)."""
+    from airbyte_module_spark.operators.similarity import ann_ivf
+
+    out = ann_ivf(_embeddings(spark, sf_dir), n_queries=10, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -486,6 +525,31 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+# ------------------------------------------------------------ file formats
+def file_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S6 file source/sink parity: render the customer table as CSV files
+    (the reference's destination-csv, write_config.yaml shape), then read it
+    back through the csv source with an explicit schema. The oracle reads
+    the ORIGINAL parquet table — equality proves the csv write→read
+    roundtrip is lossless (Spark writes doubles with roundtrip-exact
+    shortest-repr), mirroring the reference's mysql write→read e2e diff
+    (/root/reference/hack/test_module.sh:216-227)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from airbyte_module_spark.sources.files import read_file, write_file
+
+    cust = _customer(spark, sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        f"ams_csv_roundtrip_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_file(cust, out, format="csv")
+    return read_file(spark, out, format="csv", schema=cust.schema)
 
 
 # -------------------------------------------------------------- discovery

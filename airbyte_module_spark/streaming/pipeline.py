@@ -41,15 +41,26 @@ class CdcPipeline:
         use_pandas_udfs: bool = False,
         auto_evolve: bool = True,
         collect_lineage: bool = True,
+        post_merge_hook=None,
     ):
         """``use_pandas_udfs`` switches normalize/sha to the Arrow-batched
         pandas UDF implementations (both are vectorized; the expression form
-        stays fully inside whole-stage codegen and is the default)."""
+        stays fully inside whole-stage codegen and is the default).
+
+        ``post_merge_hook``: optional ``callable(table, version)`` invoked
+        after each successfully committed merge — the user-pluggable
+        equivalent of the reference's post-write dbt normalization container
+        (``/root/reference/abm/normalization.py:28-42``, invoked at
+        ``abm/server.py:219-228``), except it receives the committed table
+        instead of re-reading it through a second container. Runs after the
+        commit, so a hook failure never loses the batch; exactly-once skips
+        (already-applied batches) do not re-fire it."""
         self.table = table
         self.stream = stream
         self.use_pandas_udfs = use_pandas_udfs
         self.auto_evolve = auto_evolve
         self.collect_lineage = collect_lineage
+        self.post_merge_hook = post_merge_hook
 
     # ------------------------------------------------------------ transforms
     def data_schema(self) -> T.StructType:
@@ -160,10 +171,16 @@ class CdcPipeline:
 
             keys = self.table.key_columns
             if keys:
-                n_parts = max(
-                    self.table.n_buckets,
-                    int(self.table.spark.conf.get("spark.sql.shuffle.partitions")),
-                )
+                # shuffle.partitions can be non-numeric on some platforms
+                # (e.g. "auto" under auto-optimized shuffle) — fall back to
+                # the scheduler's default parallelism
+                try:
+                    conf_parts = int(
+                        self.table.spark.conf.get("spark.sql.shuffle.partitions")
+                    )
+                except (TypeError, ValueError):
+                    conf_parts = self.table.spark.sparkContext.defaultParallelism
+                n_parts = max(self.table.n_buckets, conf_parts)
                 redistributed = parsed.repartition(
                     n_parts, F.col(model.BUCKET_COLUMN)
                 )
@@ -183,7 +200,7 @@ class CdcPipeline:
                     lineage = lineage_from_batch(
                         parsed, winners, batch_id, checkpoint_id
                     ).to_dict()
-                return self.table.merge(
+                version = self.table.merge(
                     winners,
                     batch_id=batch_id,
                     checkpoint_id=checkpoint_id,
@@ -191,6 +208,9 @@ class CdcPipeline:
                     pre_deduped=True,
                     pre_partitioned=bool(keys),
                 )
+                if version is not None and self.post_merge_hook is not None:
+                    self.post_merge_hook(self.table, version)
+                return version
             finally:
                 if self.collect_lineage:
                     winners.unpersist()

@@ -7,8 +7,9 @@ job on the SAME pre-generated feed at two parallelism levels — local[8] and
 local[32] (N and 4N cores) — each in its OWN subprocess (fresh JVM, so the
 `master` setting is honored and no executor state leaks between levels).
 
-Per level we run `--repeats` trials and keep the fastest (steady-state;
-first trial pays JIT/codegen warmup). Output:
+Per level we run at least `--repeats` trials — the steady-state stop rule in
+bench.replay_until_steady may run more — and keep the fastest (first trials
+pay the sandbox's throttled JIT warmup). Output:
 
   BENCH/scaling.json   — machine-readable, attached to bench.py's JSON line
   BENCH/BASELINE.md    — human-readable table + config, for the judge
@@ -37,11 +38,12 @@ sys.path.insert(0, REPO)
 
 
 # --------------------------------------------------------------------- worker
-def run_worker(cpus: int, feed: str, work: str) -> None:
+def run_worker(cpus: int, feed: str, work: str, min_runs: int = 5) -> None:
     """One JVM at local[cpus]: replay the shared feed into fresh tables until
     wall-clock stabilizes (see bench.replay_until_steady — this sandbox's
     JIT-compile phase is pathologically slow and must be excluded at BOTH
-    parallelism levels identically), then report the steady-state best."""
+    parallelism levels identically), then report the steady-state best.
+    ``min_runs`` (the parent's --repeats) floors the trial count."""
     from airbyte_module_spark import get_spark
     from bench import replay_until_steady
 
@@ -50,7 +52,9 @@ def run_worker(cpus: int, feed: str, work: str) -> None:
     )
     base = os.path.join(work, f"run-{cpus}-{os.getpid()}")
     os.makedirs(base, exist_ok=True)
-    trials, eng = replay_until_steady(spark, feed, base, tag=f"c{cpus}_")
+    trials, eng = replay_until_steady(
+        spark, feed, base, tag=f"c{cpus}_", min_runs=min_runs
+    )
     print(
         json.dumps(
             {
@@ -101,11 +105,14 @@ def main() -> None:
     ap.add_argument("--work", default=None)
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--levels", default="8,32")
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--repeats", type=int, default=5,
+        help="minimum trials per level (steady-state rule may run more)",
+    )
     args = ap.parse_args()
 
     if args.worker:
-        run_worker(args.cpus, args.feed, args.work)
+        run_worker(args.cpus, args.feed, args.work, min_runs=args.repeats)
         return
     if args.gen:
         generate_feed(args.feed, args.events)
@@ -121,7 +128,8 @@ def main() -> None:
         results: dict[int, dict] = {}
         for cpus in levels:
             r = subprocess_json(
-                ["--worker", "--cpus", str(cpus), "--feed", feed, "--work", work]
+                ["--worker", "--cpus", str(cpus), "--feed", feed,
+                 "--work", work, "--repeats", str(args.repeats)]
             )
             r["events_per_sec"] = round(args.events / r["replay_sec"], 1)
             print(f"local[{cpus}]: {r}", file=sys.stderr)

@@ -40,14 +40,19 @@ def main() -> None:
     ap.add_argument("--table-mode", choices=["mor", "cow"], default="mor")
     args = ap.parse_args()
 
-    from pyspark import SparkConf
+    import os
 
     from airbyte_module_spark import Engine
     from airbyte_module_spark.session import get_spark
 
     # under spark-submit the master comes from the submit command and must
-    # not be overridden; plain-python smoke runs fall back to local[*]
-    master = None if not SparkConf().contains("spark.master") else "__submitted__"
+    # not be overridden; plain-python smoke runs fall back to local[*].
+    # Detection: spark-submit launches this script through PythonRunner,
+    # which exports the Py4J gateway env vars before python starts —
+    # SparkConf() would NOT work here (before the JVM exists it is a plain
+    # dict that never sees the --master system property).
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ or "SPARK_ENV_LOADED" in os.environ
+    master = "__submitted__" if submitted else None
     spark = get_spark(
         app_name="ams-cdc-replay",
         master=master,

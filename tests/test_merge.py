@@ -104,6 +104,67 @@ def test_compaction_preserves_state(spark, tmp_path):
     assert_matches_oracle(table, events)
 
 
+def test_merge_never_compacts_inline(spark, tmp_path):
+    """The ingest hot path must never stall on compaction: even with the
+    delta threshold already crossed, merge() only appends deltas; folding
+    happens exclusively through the explicit maintenance() API."""
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=21, n_events=300, n_shards=6), feed)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), mode="mor", n_buckets=2, compact_after_deltas=2
+    )
+    pipe = CdcPipeline(table)
+    for i in range(6):
+        raw = spark.read.text(f"{feed}/shard-{i:05d}.json")
+        pipe.apply_batch(raw, batch_id=i, checkpoint_id="c")
+    entries = table.current_snapshot()["entries"]
+    # every merge appended deltas; none were folded inline
+    assert all(e["kind"] == "delta" for e in entries)
+    assert len(table.buckets_needing_compaction()) > 0
+
+    d_before = table.digest()
+    assert table.maintenance() is not None
+    assert all(e["kind"] == "base" for e in table.current_snapshot()["entries"])
+    assert table.digest() == d_before
+    assert table.maintenance() is None  # nothing left to do
+    assert_matches_oracle(table, events)
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """Incremental CDC-consumer read: changes(v1, v2) returns exactly the
+    LWW-resolved rows the second batch applied (tombstones visible), and
+    refuses ranges whose delta history was folded by compaction."""
+    from airbyte_module_spark.lake.table import dedup_lww
+
+    feed = str(tmp_path / "feed")
+    generate_feed(FeedSpec(seed=31, n_events=300, n_shards=2), feed)
+    table = LakeTable.create(spark, str(tmp_path / "t"), mode="mor", n_buckets=4)
+    pipe = CdcPipeline(table)
+    raw0 = spark.read.text(f"{feed}/shard-00000.json")
+    v1 = pipe.apply_batch(raw0, batch_id=0, checkpoint_id="c")
+    raw1 = spark.read.text(f"{feed}/shard-00001.json")
+    v2 = pipe.apply_batch(raw1, batch_id=1, checkpoint_id="c")
+
+    got = {
+        (r["repo"], r["path"]): (r[model.META_SEQ], r[model.META_OP])
+        for r in table.changes(v1, v2).collect()
+    }
+    expected_rows = dedup_lww(feed_src.parse_envelopes(raw1)).collect()
+    expected = {
+        (r["repo"], r["path"]): (r[model.META_SEQ], r[model.META_OP])
+        for r in expected_rows
+    }
+    assert got == expected
+    assert any(op == "d" for _, op in got.values()), "tombstones must be visible"
+
+    # full-range changes == current LWW state incl. tombstones
+    assert table.changes(0).count() == table.read_internal().count()
+
+    table.compact()
+    with pytest.raises(ValueError):
+        table.changes(v1)
+
+
 def test_time_travel(spark, tmp_path):
     feed = str(tmp_path / "feed")
     generate_feed(FeedSpec(seed=3, n_events=100, n_shards=2), feed)
@@ -115,6 +176,22 @@ def test_time_travel(spark, tmp_path):
     raw1 = spark.read.text(f"{feed}/shard-00001.json")
     pipe.apply_batch(raw1, batch_id=1, checkpoint_id="c")
     assert table.read(version=v1).count() == count_v1  # snapshot immutable
+
+
+def test_post_merge_hook_fires_after_commit_only(spark, tmp_path):
+    """The pluggable post-merge hook (reference: post-write dbt normalization
+    container, abm/normalization.py:28-42) fires once per committed merge and
+    never for exactly-once-skipped batches."""
+    feed = str(tmp_path / "feed")
+    generate_feed(FeedSpec(seed=13, n_events=100), feed)
+    calls: list[int] = []
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    pipe = CdcPipeline(table, post_merge_hook=lambda t, v: calls.append(v))
+    raw = spark.read.text(feed)
+    v1 = pipe.apply_batch(raw, batch_id=1, checkpoint_id="h")
+    assert calls == [v1]
+    pipe.apply_batch(raw, batch_id=1, checkpoint_id="h")  # skipped
+    assert calls == [v1]
 
 
 def test_lineage_recorded(spark, tmp_path):

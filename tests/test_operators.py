@@ -118,7 +118,163 @@ def test_simhash_near_dups_close(docs):
     assert near < sorted(far)[len(far) // 2], "near-dup not closer than median"
 
 
+# -------------------------------------------------------- scale caps (X2/X4)
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """40 byte-identical boilerplate docs + one genuine near-dup pair: the
+    pathological LSH bucket / stop-shingle posting list."""
+    rows = [(i, "license header alpha beta gamma delta epsilon zeta") for i in range(40)]
+    rows += [(100, "one two three four five six"), (101, "one two three four five six")]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_lsh_bucket_cap_drops_pathological_bucket(boilerplate_docs):
+    from airbyte_module_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_bands,
+        oversize_groups,
+        with_minhash,
+    )
+
+    bands = minhash_bands(with_minhash(boilerplate_docs))
+    uncapped = lsh_candidate_pairs(bands, max_bucket_size=None)
+    assert uncapped.count() == 40 * 39 // 2 + 1  # boilerplate blow-up + true pair
+
+    capped = lsh_candidate_pairs(bands, max_bucket_size=10)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert pairs == {(100, 101)}, "cap must drop only the oversize bucket"
+
+    dropped = oversize_groups(lsh_band_buckets(bands), 10).collect()
+    assert len(dropped) == 4  # the boilerplate cluster collides in all 4 bands
+    assert all(r["n_docs"] == 40 for r in dropped)
+
+
+def test_ngram_df_cap_drops_stop_shingles(boilerplate_docs):
+    from airbyte_module_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        oversize_groups,
+        shingle_postings,
+    )
+
+    uncapped = ngram_jaccard_pairs(
+        boilerplate_docs, n=3, threshold=0.99, max_doc_freq=None
+    )
+    assert uncapped.count() == 40 * 39 // 2 + 1
+
+    capped = ngram_jaccard_pairs(boilerplate_docs, n=3, threshold=0.99, max_doc_freq=10)
+    rows = capped.collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(100, 101)}
+    assert rows[0]["jaccard"] == 1.0  # surviving pairs keep EXACT jaccard
+
+    dropped = oversize_groups(shingle_postings(boilerplate_docs, n=3), 10).collect()
+    assert dropped and all(r["n_docs"] == 40 for r in dropped)
+
+
+def test_default_caps_do_not_change_small_corpus_results(docs):
+    """At the correctness-gate scale (500 docs < MAX_GROUP_SIZE) the default
+    caps are no-ops — pinning that the oracle comparison stays exact."""
+    from airbyte_module_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+        ngram_jaccard_pairs,
+        with_minhash,
+    )
+
+    bands = minhash_bands(with_minhash(docs))
+    assert (
+        lsh_candidate_pairs(bands).count()
+        == lsh_candidate_pairs(bands, max_bucket_size=None).count()
+    )
+    assert (
+        ngram_jaccard_pairs(docs, n=3).count()
+        == ngram_jaccard_pairs(docs, n=3, max_doc_freq=None).count()
+    )
+
+
 # -------------------------------------------------------------- similarity
+def test_near_dup_lsh_matches_allpairs_within_buckets(emb):
+    """The banded-LSH near-dup operator must return EXACTLY the all-pairs
+    result restricted to pairs colliding in >= 1 band, with identical scores
+    (precision 1; recall = band-collision probability)."""
+    from airbyte_module_spark.operators.similarity import (
+        banded_buckets,
+        near_dup_pairs,
+        near_dup_pairs_lsh,
+    )
+
+    bands: dict[int, set] = {}
+    for r in banded_buckets(emb).collect():
+        bands.setdefault(r["vec_id"], set()).add((r["band"], r["bucket"]))
+    allp = {
+        (r["vec_a"], r["vec_b"]): (r["dot_q"], r["cosine"])
+        for r in near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    expected = {
+        pair: score
+        for pair, score in allp.items()
+        if bands[pair[0]] & bands[pair[1]]
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): (r["dot_q"], r["cosine"])
+        for r in near_dup_pairs_lsh(emb, threshold=0.45).collect()
+    }
+    assert got == expected
+    assert got, "fixture should contain banded-LSH near-dup collisions"
+    # recall accounting: the banded trade should catch most true near-dups
+    assert len(got) >= len(allp) // 2, f"recall {len(got)}/{len(allp)} too low"
+
+
+def test_ann_recall_gate(emb):
+    """Quantified recall@5 against the exact ranking.
+
+    Measured on this fixture (true top-5 at cosine 0.27-0.39): IVF
+    (64 cells, nprobe 8, ~12% of corpus scanned) reaches 0.88; 8-plane
+    SRP-LSH gets 0.02 single-probe / 0.10 with Hamming-1 multiprobe —
+    hyperplane LSH needs high-cosine targets, IVF follows data geometry.
+    Floors assert the measured ordering stays true."""
+    from airbyte_module_spark.operators.similarity import (
+        ann_brute_force,
+        ann_ivf,
+        ann_lsh,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_brute_force(emb, n_queries=10, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh(emb, n_queries=10, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh(emb, n_queries=10, k=5, multiprobe=True).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf(emb, n_queries=10, k=5).collect()
+    }
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    recall_ivf = len(ivf & exact) / len(exact)
+    assert recall_multi >= recall_single, "multiprobe must not lose recall"
+    assert recall_ivf >= 0.70, f"IVF recall@5 {recall_ivf}"
+    assert recall_ivf > recall_multi, "IVF is the recall-strong scale path"
+
+
+def test_ivf_assignment_covers_corpus(emb):
+    from airbyte_module_spark.operators.similarity import N_IVF_CELLS, ivf_assign
+
+    a = ivf_assign(emb)
+    assert a.count() == emb.count()
+    cells = [r["cell"] for r in a.select("cell").distinct().collect()]
+    assert all(0 <= c < N_IVF_CELLS for c in cells)
+    # centroids must be assigned to their own cell (cosine with self = 1)
+    own = ivf_assign(emb).filter(F.col("vec_id") < N_IVF_CELLS)
+    assert all(r["vec_id"] == r["cell"] for r in own.collect())
+
+
 def test_ann_lsh_subset_of_bruteforce_scores(emb):
     """Every LSH-retrieved neighbor must carry the same dot/cosine the
     brute-force scorer assigns (same scoring, restricted candidate set),

@@ -82,6 +82,29 @@ def test_no_row_python_in_any_query(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time python"
 
 
+def test_near_dup_lsh_no_nested_loop(spark):
+    """The scale-path embedding near-dup must plan as a bucket-equi join
+    (hash/sort-merge) — never the O(N²) BroadcastNestedLoopJoin the exact
+    all-pairs verifier uses."""
+    from airbyte_module_spark.operators.similarity import near_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical(near_dup_pairs_lsh(emb))
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dot_product_is_codegen(spark):
+    """int_dot must stay inside whole-stage codegen: no higher-order-function
+    (interpreted) expressions in the scoring projection."""
+    from airbyte_module_spark.operators.similarity import with_quantized
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical(with_quantized(emb).select("norm2"))
+    # aggregate()/zip_with() would appear as 'aggregate(' / 'zip_with(' nodes
+    assert "zip_with" not in plan and "aggregate(" not in plan, plan
+
+
 def test_ann_bruteforce_broadcasts_queries(spark):
     from airbyte_module_spark.operators.similarity import ann_brute_force
 
