@@ -122,27 +122,37 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ).withColumn("norm2", int_dot(F.col("qv"), F.col("qv")))
 
 
-def _bucket_expr(qv) -> Column:
-    """8-bit random-hyperplane signature of a quantized vector: bit p =
-    (qv . plane_p) >= 0. Plane dots are unrolled literal sums (codegen)."""
-    bucket = None
-    for p, coeffs in enumerate(plane_coeffs()):
-        dot_p = qv[0] * F.lit(coeffs[0]).cast("long")
-        for d in range(1, PLANE_DIM):
-            dot_p = dot_p + qv[d] * F.lit(coeffs[d]).cast("long")
-        bit = F.when(dot_p >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+def _srp_codes_udf(n_bands: int, rows_per_band: int):
+    """Arrow-batched SRP signature kernel: array<long> qv → array of
+    ``n_bands`` bucket codes, bit r of band b = (qv · plane_{b·rows+r}) >= 0.
+
+    One numpy int64 matmul against the (planes × 64) coefficient matrix
+    replaces an n_bands·rows_per_band·64-term Catalyst expression — the
+    expression form is exact too, but a 512-term tree costs seconds of
+    throttled codegen compile per plan in this sandbox and risks falling
+    back to interpreted eval; the kernel's math is identical
+    ((Q @ P.T) >= 0, exact int64), so oracles are unaffected."""
+    planes = np.array(plane_coeffs(n_bands * rows_per_band), dtype=np.int64)
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def codes(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.stack(qv.to_numpy())
+        bits = (Q @ planes.T) >= 0
+        out = (bits.reshape(len(Q), n_bands, rows_per_band) * weights).sum(axis=2)
+        return pd.Series(list(out))
+
+    return codes
 
 
 def with_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vec_id, qv, norm2, bucket): quantization + norm + LSH bucket in ONE
-    projection — signature computed once and reused by every consumer
-    (ann_lsh previously recomputed quantization on both join sides)."""
+    pass — signature computed once and reused by every consumer."""
+    codes = _srp_codes_udf(1, N_PLANES)
     return with_quantized(emb, vec_col).withColumn(
-        "bucket", _bucket_expr(F.col("qv"))
+        "bucket", F.element_at(codes(F.col("qv")), 1)
     )
 
 
@@ -412,25 +422,13 @@ def banded_buckets(
     worth of pairs (1-(1-1/16)^4 ≈ 0.23 of a 2^4-bucket table per band).
     Same banding trade as MinHash-LSH (operators/dedup.py)."""
     q = with_quantized(emb, vec_col)
-    planes = plane_coeffs(n_bands * rows_per_band)
-    band_structs = []
-    for b in range(n_bands):
-        bucket = None
-        for r in range(rows_per_band):
-            coeffs = planes[b * rows_per_band + r]
-            dot_p = F.col("qv")[0] * F.lit(coeffs[0]).cast("long")
-            for d in range(1, PLANE_DIM):
-                dot_p = dot_p + F.col("qv")[d] * F.lit(coeffs[d]).cast("long")
-            bit = F.when(dot_p >= 0, F.lit(1 << r).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            bucket = bit if bucket is None else bucket + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-        )
+    codes = _srp_codes_udf(n_bands, rows_per_band)
     return q.select(
-        "vec_id", "qv", "norm2", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", "qv", "norm2", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "vec_id",
+        "qv",
+        "norm2",
+        F.posexplode(codes(F.col("qv"))).alias("band", "bucket"),
+    )
 
 
 def near_dup_pairs_lsh(

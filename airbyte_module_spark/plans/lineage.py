@@ -34,6 +34,57 @@ class BatchLineage:
         return asdict(self)
 
 
+def lineage_from_grouped(
+    grouped: DataFrame, batch_id: int, checkpoint_id: str
+) -> BatchLineage:
+    """Lineage from the ingest's per-key LWW aggregate (one row per live
+    key: ``_w`` winner struct, ``_n`` event count, ``_mne/_mxe`` cursor
+    range, ``_mns/_mxs`` offset range — see CdcPipeline.apply_batch).
+
+    The aggregate is already cached and metadata-sized (1 row per key), so
+    lineage costs ONE tiny re-aggregation instead of two extra passes over
+    the full feed — the per-partition "source offset range, rows applied"
+    the north rule asks for falls out of numbers the dedup already computed."""
+    rows = (
+        grouped.groupBy(model.BUCKET_COLUMN)
+        .agg(
+            F.sum("_n").alias("events"),
+            F.count("*").alias("winners"),
+            F.sum((F.col(f"_w.{model.META_OP}") == "d").cast("long")).alias("deletes"),
+            F.min("_mne").alias("min_emitted_at"),
+            F.max("_mxe").alias("max_emitted_at"),
+            F.min("_mns").alias("min_seq"),
+            F.max("_mxs").alias("max_seq"),
+        )
+        .collect()
+    )
+    per_partition = [
+        {
+            model.BUCKET_COLUMN: r[model.BUCKET_COLUMN],
+            "events": int(r["events"]),
+            "min_emitted_at": r["min_emitted_at"],
+            "max_emitted_at": r["max_emitted_at"],
+            "min_seq": r["min_seq"],
+            "max_seq": r["max_seq"],
+        }
+        for r in rows
+    ]
+    n_events = sum(int(r["events"]) for r in rows)
+    n_winners = sum(int(r["winners"]) for r in rows)
+    return BatchLineage(
+        batch_id=batch_id,
+        checkpoint_id=checkpoint_id,
+        n_events=n_events,
+        n_winners=n_winners,
+        n_conflicts=n_events - n_winners,
+        n_deletes=sum(int(r["deletes"] or 0) for r in rows),
+        min_emitted_at=min((r["min_emitted_at"] for r in rows), default=None),
+        max_emitted_at=max((r["max_emitted_at"] for r in rows), default=None),
+        buckets=sorted(int(r[model.BUCKET_COLUMN]) for r in rows),
+        per_partition=per_partition,
+    )
+
+
 def lineage_from_batch(
     events: DataFrame, winners: DataFrame, batch_id: int, checkpoint_id: str
 ) -> BatchLineage:

@@ -1,0 +1,175 @@
+"""Remote protocol surface: Arrow Flight + HTTP servers over the Engine.
+
+Protocol parity with the reference's dual-server process (``/root/reference/
+main.py:28-35`` starts an HTTP server on 8080 in a thread and a Flight server
+on 8081 in the main thread):
+
+| reference                                            | here                         |
+|------------------------------------------------------|------------------------------|
+| ``ABMFlightServer.get_flight_info`` (abm/server.py:238-256) | ``EngineFlightServer.get_flight_info`` |
+| ``ABMFlightServer.do_get`` (abm/server.py:140-159)   | ``EngineFlightServer.do_get``|
+| ``ABMFlightServer.do_put`` append/overwrite (abm/server.py:164-231, modes :182-187) | ``EngineFlightServer.do_put`` (+ upsert) |
+| ticket = JSON ``{"asset_name": ...}`` (abm/ticket.py:14-16) | same wire format             |
+| ``ABMHttpHandler.do_GET`` NDJSON stream (abm/server.py:39-60) | ``EngineHttpServer`` GET     |
+| ``ABMHttpHandler.do_PUT/do_POST`` (abm/server.py:63-91) | ``EngineHttpServer`` PUT/POST|
+
+Differences that are the point of the exercise:
+
+- the reference's do_get launches a docker connector per request and streams
+  its stdout through a temp file per 100-record batch
+  (abm/connector.py:288-297); here ``Engine.read()`` is a Spark plan and
+  ``DataFrame.toArrow()`` hands back Arrow batches produced by the JVM.
+- the reference's do_put iterates rows in Python
+  (``batch.to_pandas()`` + ``iterrows``, abm/server.py:206-210 — the
+  structural bottleneck called out in BASELINE.md); here the incoming Arrow
+  table becomes a DataFrame via Arrow-accelerated ``createDataFrame`` and the
+  engine's MERGE path stamps cursors vectorized.
+- one asset = one Engine (lake table); the asset registry dict mirrors the
+  reference's per-asset YAML config lookup (abm/config.py:13-18).
+
+The servers are thin: every data operation is one Engine call, so the
+protocol layer adds no second data path to keep correct.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+try:  # gated: pyarrow.flight needs grpc support compiled in
+    import pyarrow.flight as fl
+
+    HAVE_FLIGHT = True
+except ImportError:  # pragma: no cover
+    fl = None
+    HAVE_FLIGHT = False
+
+from airbyte_module_spark.engine import Engine
+
+
+def _asset_from_ticket(raw: bytes) -> str:
+    """Reference ticket wire format: JSON ``{"asset_name": ...}``
+    (abm/ticket.py:14-16)."""
+    return json.loads(raw.decode())["asset_name"]
+
+
+if HAVE_FLIGHT:
+
+    class EngineFlightServer(fl.FlightServerBase):
+        """Arrow Flight facade over a registry of Engines (one per asset)."""
+
+        def __init__(self, assets: dict[str, Engine], location: str = "grpc://127.0.0.1:0"):
+            super().__init__(location)
+            self.assets = assets
+
+        def _engine(self, asset: str) -> Engine:
+            if asset not in self.assets:
+                raise fl.FlightServerError(f"unknown asset {asset!r}")
+            return self.assets[asset]
+
+        # ---------------------------------------------------------- discovery
+        def get_flight_info(self, context, descriptor):
+            """Schema discovery: metadata lookup instead of the reference's
+            dockerized `discover` round-trip; single endpoint, unknown
+            record/byte counts = -1, exactly like abm/server.py:238-256."""
+            asset = descriptor.command.decode() if descriptor.command else descriptor.path[0].decode()
+            eng = self._engine(asset)
+            schema = eng.read().limit(0).toArrow().schema
+            ticket = fl.Ticket(json.dumps({"asset_name": asset}).encode())
+            endpoint = fl.FlightEndpoint(ticket, [])
+            return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+        # --------------------------------------------------------------- read
+        def do_get(self, context, ticket):
+            asset = _asset_from_ticket(ticket.ticket)
+            table = self._engine(asset).read().toArrow()
+            return fl.RecordBatchStream(table)
+
+        # -------------------------------------------------------------- write
+        def do_put(self, context, descriptor, reader, writer):
+            """Descriptor command = JSON ``{asset, write_mode}``
+            (abm/server.py:166-187; json_schema is unnecessary here — the
+            Arrow stream carries a real schema, unlike the reference's
+            2-type JSON-Schema fabrication at abm/connector.py:302-318)."""
+            cmd = json.loads(descriptor.command.decode())
+            asset = cmd["asset"]
+            mode = cmd.get("write_mode", "append")
+            eng = self._engine(asset)
+            table = reader.read_all()
+            df = eng.spark.createDataFrame(table.to_pandas())
+            eng.write(df, mode=mode)
+
+else:  # pragma: no cover
+
+    class EngineFlightServer:  # type: ignore[no-redef]
+        def __init__(self, *a, **kw):
+            raise ImportError("pyarrow.flight is not available in this build")
+
+
+class _EngineHttpHandler(BaseHTTPRequestHandler):
+    """HTTP facade (reference abm/server.py:39-91): GET streams the asset as
+    NDJSON; PUT/POST writes an NDJSON body (write mode via X-Write-Mode
+    header; the reference passes mode/schema through headers too)."""
+
+    assets: dict[str, Engine] = {}
+
+    def log_message(self, *args):  # quiet test runs
+        pass
+
+    def _engine(self) -> Engine | None:
+        asset = self.path.strip("/")
+        eng = self.assets.get(asset)
+        if eng is None:
+            self.send_response(404)
+            self.end_headers()
+        return eng
+
+    def do_GET(self):
+        eng = self._engine()
+        if eng is None:
+            return
+        lines = eng.read().toJSON().collect()
+        body = ("\n".join(lines) + ("\n" if lines else "")).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _write(self):
+        eng = self._engine()
+        if eng is None:
+            return
+        length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length).decode()
+        mode = self.headers.get("X-Write-Mode", "append")
+        rows = [json.loads(ln) for ln in body.splitlines() if ln.strip()]
+        df = eng.spark.createDataFrame(rows, schema=eng.schema())
+        eng.write(df, mode=mode)
+        self.send_response(200)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    do_PUT = _write
+    do_POST = _write
+
+
+class EngineHttpServer:
+    """Threaded HTTP server over the asset registry; ``port`` is resolved
+    after ``start()`` (bind to port 0 in tests)."""
+
+    def __init__(self, assets: dict[str, Engine], host: str = "127.0.0.1", port: int = 0):
+        handler = type("Handler", (_EngineHttpHandler,), {"assets": assets})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "EngineHttpServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -66,11 +66,18 @@ def replay_until_steady(
     trials: list[float] = []
     eng = None
     for i in range(max_runs):
+        if i >= 2:
+            # drop the table/checkpoint of the run before last (keep the
+            # last one alive for the caller) so trial outputs don't
+            # accumulate — late trials drifted up to 4x steady state once
+            # ~10 replayed tables piled up in the work dir
+            shutil.rmtree(os.path.join(work, f"table_{tag}{i - 2}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(work, f"ck_{tag}{i - 2}"), ignore_errors=True)
         eng = Engine(spark, os.path.join(work, f"table_{tag}{i}"), collect_lineage=True)
         t0 = time.time()
         eng.replay(feed, checkpoint_dir=os.path.join(work, f"ck_{tag}{i}"))
         trials.append(round(time.time() - t0, 3))
-        if len(trials) >= min_runs and max(trials[-2:]) <= 1.15 * min(trials):
+        if len(trials) >= min_runs and max(trials[-2:]) <= 1.2 * min(trials):
             break
     return trials, eng
 

@@ -42,10 +42,12 @@ def test_parquet_filter_and_column_pushdown(spark):
     assert "props" not in read_schema and "value" not in read_schema
 
 
-def test_ingest_batch_path_single_exchange(spark, tmp_path):
-    """parse -> bucket -> repartition(bucket) -> LWW window: the window must
-    reuse the bucket-hash partitioning (subset-clustering), so the whole
-    batch pipeline contains exactly ONE shuffle."""
+def test_ingest_batch_path_shuffle_shape(spark, tmp_path):
+    """parse -> bucket -> LWW hash-agg -> repartition(bucket): the full-width
+    feed must cross the wire exactly once and PRE-REDUCED — the plan shows a
+    partial max_by aggregation BELOW the first exchange (map-side combine),
+    a final aggregation above it, and one further exchange that moves only
+    the deduped winners onto the bucket key for the per-bucket write."""
     from airbyte_module_spark import model
     from airbyte_module_spark.lake.table import bucket_expr, dedup_lww
     from airbyte_module_spark.sources.feed import parse_envelopes_once
@@ -56,13 +58,20 @@ def test_ingest_batch_path_single_exchange(spark, tmp_path):
     parsed = parse_envelopes_once(raw).withColumn(
         model.BUCKET_COLUMN, bucket_expr(32, ["repo", "path"])
     )
-    winners = dedup_lww(
-        parsed.repartition(32, F.col(model.BUCKET_COLUMN)),
-        [model.BUCKET_COLUMN, "repo", "path"],
+    winners = dedup_lww(parsed, [model.BUCKET_COLUMN, "repo", "path"]).repartition(
+        32, F.col(model.BUCKET_COLUMN)
     )
     plan = physical(winners)
     n_exchanges = plan.count("Exchange")
-    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+    assert n_exchanges == 2, f"expected agg + bucket shuffles, got {n_exchanges}:\n{plan}"
+    # map-side combine: the partial max_by sits BELOW the first exchange
+    # (printed after it, deeper in the tree), so conflicting events collapse
+    # before any bytes cross the wire. (max_by with a struct buffer plans as
+    # SortAggregate — local sorts per aggregation stage — but the partial
+    # phase is what bounds shuffle volume.)
+    assert "partial_max_by" in plan, f"map-side combine missing:\n{plan}"
+    assert plan.index("partial_max_by") > plan.index("Exchange"), plan
+    assert "Window" not in plan, f"window/row_number crept back in:\n{plan}"
 
 
 def test_salted_join_broadcasts_replicated_dim(spark):
