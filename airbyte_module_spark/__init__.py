@@ -24,4 +24,12 @@ with Spark-native primitives per SURVEY.md §1.3.
 from airbyte_module_spark.engine import Engine
 from airbyte_module_spark.session import get_spark
 
-__all__ = ["Engine", "get_spark"]
+__all__ = ["Engine", "get_spark", "AssetConfig", "build_assets"]
+
+
+def __getattr__(name):  # lazy: config pulls yaml only when used
+    if name in ("AssetConfig", "build_assets"):
+        from airbyte_module_spark import config as _config
+
+        return getattr(_config, name)
+    raise AttributeError(name)

@@ -96,6 +96,8 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.catalog = FileCatalog(os.path.join(path, "_meta"))
+        # last-commit phase wall-times (scaling serial-fraction profile)
+        self.timings: dict[str, float] = {}
 
     # ------------------------------------------------------------------ meta
     @classmethod
@@ -251,11 +253,15 @@ class LakeTable:
         commit_dir = f"data/commit-{version}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, commit_dir)
         staged = df if pre_partitioned else df.repartition(model.BUCKET_COLUMN)
+        import time as _time
+
+        t0 = _time.time()
         (
             staged.withColumn("_pb", F.col(model.BUCKET_COLUMN))
             .write.partitionBy("_pb")
             .parquet(out)
         )
+        self.timings["stage_write"] = round(_time.time() - t0, 3)
         return [
             {"dir": f"{commit_dir}/_pb={int(b)}", "bucket": int(b)}
             for b in sorted(buckets)
@@ -362,9 +368,11 @@ class LakeTable:
         }
         self._write_snapshot(new_snap, expected_parent=snap["version"])
         # NOTE: merge never compacts inline — a hot bucket crossing the delta
-        # threshold must not stall the ingest batch. Run maintenance() from a
-        # background/maintenance job (the streaming pipeline schedules it
-        # between batches, off the commit path).
+        # threshold must not stall the ingest batch. CdcPipeline._post_commit
+        # runs maintenance() after every Nth committed batch (its
+        # ``maintenance_every`` option, default 16, after the commit is
+        # durable); deployments that disable it must schedule maintenance()
+        # as an external background job.
         return new_version
 
     def buckets_needing_compaction(self, limit: int | None = None) -> list[int]:

@@ -115,7 +115,21 @@ def plane_coeffs(n_planes: int = N_PLANES, dim: int = PLANE_DIM) -> list[list[in
 
 
 def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    qv = quantize(F.col(vec_col))
+    """(vec_id, qv, norm2). Dimension check is LOUD: ``int_dot``'s unrolled
+    literal indexing returns null (not an error) past the end of a short
+    array, which would silently drop rows through downstream cosine
+    filters — so any vector whose length != PLANE_DIM raises here instead."""
+    qv = F.when(
+        F.size(F.col(vec_col)) == PLANE_DIM, quantize(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"embedding length %s != {PLANE_DIM} (vec_id %s)",
+                F.size(F.col(vec_col)).cast("string"),
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
     return emb.select(
         "vec_id",
         qv.alias("qv"),
@@ -162,6 +176,32 @@ def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return with_buckets(emb, vec_col).select("vec_id", "bucket")
 
 
+def _score_candidates(cands: DataFrame) -> DataFrame:
+    """(query candidates with qv/q_qv/norms) → (query_id, neighbor_id,
+    dot_q, cosine). Two stacked projections so the 64-term ``int_dot`` is
+    evaluated ONCE per candidate: putting ``dot`` and ``cosine(dot, ...)``
+    in the same select duplicates the 64-term tree (measured 2x on ann_topk
+    — whole-stage codegen does not CSE across the two aliases), while
+    CollapseProject declines to merge these projects because ``dot_q`` is
+    non-cheap and referenced twice in the upper one."""
+    dot = int_dot(F.col("q_qv"), F.col("qv"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot.alias("dot_q"),
+        "q_norm2",
+        "norm2",
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "dot_q",
+        cosine_from_ints(F.col("dot_q"), F.col("q_norm2"), F.col("norm2")).alias(
+            "cosine"
+        ),
+    )
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Per-query top-k by (cosine desc, neighbor_id) — cosine is the metric;
     the tiebreak makes the cut deterministic. Mirrored in the SQL oracles."""
@@ -190,14 +230,7 @@ def ann_brute_force(
     pairs = q.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    dot = int_dot(F.col("q_qv"), F.col("qv"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dot.alias("dot_q"),
-        cosine_from_ints(dot, F.col("q_norm2"), F.col("norm2")).alias("cosine"),
-    )
-    return _rank_topk(scored, k)
+    return _rank_topk(_score_candidates(pairs), k)
 
 
 def ann_lsh(
@@ -241,14 +274,7 @@ def ann_lsh(
         F.broadcast(queries),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    dot = int_dot(F.col("q_qv"), F.col("qv"))
-    scored = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dot.alias("dot_q"),
-        cosine_from_ints(dot, F.col("q_norm2"), F.col("norm2")).alias("cosine"),
-    )
-    return _rank_topk(scored, k)
+    return _rank_topk(_score_candidates(cands), k)
 
 
 N_IVF_CELLS = 64
@@ -338,14 +364,7 @@ def ann_ivf(
         F.broadcast(probes),
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    dot = int_dot(F.col("q_qv"), F.col("qv"))
-    scored = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dot.alias("dot_q"),
-        cosine_from_ints(dot, F.col("q_norm2"), F.col("norm2")).alias("cosine"),
-    )
-    return _rank_topk(scored, k)
+    return _rank_topk(_score_candidates(cands), k)
 
 
 def _score_pairs(
@@ -383,15 +402,33 @@ def _score_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+MAX_VERIFIER_ROWS = 20_000
+
+
 def near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.45, vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    max_rows: int | None = MAX_VERIFIER_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
     threshold). Exact all-pairs form — O(N²) candidate pairs, the
     small-scale VERIFIER only; the shipped scale path is
     :func:`near_dup_pairs_lsh` (bucket-equi candidates). Even here the
     nested loop touches only the two id columns; vectors attach by id
-    afterwards (:func:`_score_pairs`)."""
+    afterwards (:func:`_score_pairs`).
+
+    ``max_rows`` guards the registry entry at arbitrary sf: above it the
+    corpus is deterministically subsampled (``vec_id % ceil(n/max_rows) ==
+    0``) before pair generation, so the verifier stays O(max_rows²) instead
+    of O(N²) — it verifies the LSH path on a reproducible sample rather than
+    never finishing. Pass ``max_rows=None`` for the unguarded exact form.
+    The DuckDB oracle applies the identical modulus."""
+    if max_rows:
+        n = emb.count()
+        if n > max_rows:
+            m = -(-n // max_rows)  # ceil
+            emb = emb.filter(F.col("vec_id") % m == 0)
     q = with_quantized(emb, vec_col)
     ids = q.select("vec_id")
     pairs = ids.select(F.col("vec_id").alias("vec_a")).join(

@@ -276,8 +276,26 @@ _QUANT_CTE = """
 """
 _DOT_AB = "list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::BIGINT"
 
+# mirrors operators.similarity.near_dup_pairs' max_rows guard: above
+# MAX_VERIFIER_ROWS vectors both engines subsample vec_id % ceil(n/cap) == 0
+# (a no-op modulus of 1 at the driver's sf)
+_VERIFIER_SAMPLED_QUANT_CTE = """
+  samp AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % (SELECT CAST(greatest(1, ceil(count(*) / 20000.0))
+                                       AS BIGINT)
+                           FROM embeddings) = 0),
+  q AS (SELECT vec_id,
+               list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+                 AS qv
+        FROM samp),
+  n AS (SELECT vec_id, qv,
+               list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))::BIGINT
+                 AS norm2
+        FROM q)
+"""
+
 ORACLES["embedding_near_dup"] = f"""
-    WITH {_QUANT_CTE},
+    WITH {_VERIFIER_SAMPLED_QUANT_CTE},
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              {_DOT_AB} AS dot_q,

@@ -544,9 +544,12 @@ def file_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _customer(spark, sf_dir).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
+    # pid-keyed scratch path: stable across repeated calls within a session
+    # (bench reruns overwrite in place) but safe against two concurrent
+    # processes racing on the same sf's overwrite/read
     out = _os.path.join(
         _tempfile.gettempdir(),
-        f"ams_csv_roundtrip_{_os.path.basename(sf_dir.rstrip('/'))}",
+        f"ams_csv_roundtrip_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
     )
     write_file(cust, out, format="csv")
     return read_file(spark, out, format="csv", schema=cust.schema)

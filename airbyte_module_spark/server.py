@@ -18,12 +18,18 @@ Differences that are the point of the exercise:
 - the reference's do_get launches a docker connector per request and streams
   its stdout through a temp file per 100-record batch
   (abm/connector.py:288-297); here ``Engine.read()`` is a Spark plan and
-  ``DataFrame.toArrow()`` hands back Arrow batches produced by the JVM.
+  the response STREAMS (the reference's one good property, abm/server.py:159,
+  kept): Arrow record batches / NDJSON chunks are produced incrementally
+  from ``toLocalIterator`` — one partition of driver memory at a time, never
+  the whole asset (the r2 ``toArrow()``/``collect()`` forms were the
+  engine's last driver-memory-unbounded data path).
 - the reference's do_put iterates rows in Python
   (``batch.to_pandas()`` + ``iterrows``, abm/server.py:206-210 — the
   structural bottleneck called out in BASELINE.md); here the incoming Arrow
-  table becomes a DataFrame via Arrow-accelerated ``createDataFrame`` and the
-  engine's MERGE path stamps cursors vectorized.
+  table goes straight into ``createDataFrame`` (Spark 4 accepts a
+  ``pyarrow.Table`` — no pandas hop, which corrupted nullable int64 columns
+  to float64/zeros and lost binary types) and the engine's MERGE path stamps
+  cursors vectorized.
 - one asset = one Engine (lake table); the asset registry dict mirrors the
   reference's per-asset YAML config lookup (abm/config.py:13-18).
 
@@ -47,11 +53,45 @@ except ImportError:  # pragma: no cover
 
 from airbyte_module_spark.engine import Engine
 
+# rows per Arrow record batch / NDJSON flush on the streamed read paths —
+# bounds driver memory per in-flight chunk regardless of asset size
+READ_BATCH_ROWS = 4096
+
 
 def _asset_from_ticket(raw: bytes) -> str:
     """Reference ticket wire format: JSON ``{"asset_name": ...}``
     (abm/ticket.py:14-16)."""
     return json.loads(raw.decode())["asset_name"]
+
+
+def _arrow_schema(df):
+    """Arrow schema of a DataFrame without running the query (metadata-only:
+    converts the Spark schema, same mapping toArrow uses)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+def _arrow_batches(df, batch_rows: int | None = None):
+    """Yield pyarrow RecordBatches of ``batch_rows`` rows from a DataFrame
+    incrementally: ``toLocalIterator`` fetches ONE partition at a time to
+    the driver (prefetching the next), so peak driver memory is one
+    partition + one batch — not the asset. This is the server-side read
+    path; at 100× asset growth the driver footprint is unchanged."""
+    import pyarrow as pa
+
+    if batch_rows is None:  # resolved at call time so tests can shrink it
+        batch_rows = READ_BATCH_ROWS
+    schema = _arrow_schema(df)
+    names = df.columns
+    buf: list[dict] = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append({n: row[i] for i, n in enumerate(names)})
+        if len(buf) >= batch_rows:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            buf = []
+    if buf:
+        yield pa.RecordBatch.from_pylist(buf, schema=schema)
 
 
 if HAVE_FLIGHT:
@@ -75,16 +115,19 @@ if HAVE_FLIGHT:
             record/byte counts = -1, exactly like abm/server.py:238-256."""
             asset = descriptor.command.decode() if descriptor.command else descriptor.path[0].decode()
             eng = self._engine(asset)
-            schema = eng.read().limit(0).toArrow().schema
+            schema = _arrow_schema(eng.read())  # metadata-only, no Spark job
             ticket = fl.Ticket(json.dumps({"asset_name": asset}).encode())
             endpoint = fl.FlightEndpoint(ticket, [])
             return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
         # --------------------------------------------------------------- read
         def do_get(self, context, ticket):
+            """Streamed read: a GeneratorStream fed batch-by-batch from
+            ``toLocalIterator`` — reference parity with its streamed
+            response (abm/server.py:159) plus bounded driver memory."""
             asset = _asset_from_ticket(ticket.ticket)
-            table = self._engine(asset).read().toArrow()
-            return fl.RecordBatchStream(table)
+            df = self._engine(asset).read()
+            return fl.GeneratorStream(_arrow_schema(df), _arrow_batches(df))
 
         # -------------------------------------------------------------- write
         def do_put(self, context, descriptor, reader, writer):
@@ -97,7 +140,10 @@ if HAVE_FLIGHT:
             mode = cmd.get("write_mode", "append")
             eng = self._engine(asset)
             table = reader.read_all()
-            df = eng.spark.createDataFrame(table.to_pandas())
+            # pyarrow.Table straight into Spark (4.x) — the pandas hop would
+            # turn nullable int64 into float64 (nulls → NaN → 0 under the
+            # later non-ANSI cast) and mangle binary columns
+            df = eng.spark.createDataFrame(table)
             eng.write(df, mode=mode)
 
 else:  # pragma: no cover
@@ -113,6 +159,7 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
     header; the reference passes mode/schema through headers too)."""
 
     assets: dict[str, Engine] = {}
+    protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
 
     def log_message(self, *args):  # quiet test runs
         pass
@@ -122,20 +169,36 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
         eng = self.assets.get(asset)
         if eng is None:
             self.send_response(404)
+            self.send_header("Content-Length", "0")
             self.end_headers()
         return eng
 
     def do_GET(self):
+        """Chunked NDJSON stream: one partition of JSON lines on the driver
+        at a time (``toJSON().toLocalIterator()``), flushed every
+        READ_BATCH_ROWS lines — the asset never materializes driver-side
+        (the reference's GET also streams, abm/server.py:39-60)."""
         eng = self._engine()
         if eng is None:
             return
-        lines = eng.read().toJSON().collect()
-        body = ("\n".join(lines) + ("\n" if lines else "")).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
-        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
-        self.wfile.write(body)
+
+        def chunk(data: bytes) -> None:
+            if data:
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+        buf: list[str] = []
+        for line in eng.read().toJSON().toLocalIterator(prefetchPartitions=True):
+            buf.append(line)
+            if len(buf) >= READ_BATCH_ROWS:
+                chunk(("\n".join(buf) + "\n").encode())
+                buf = []
+        if buf:
+            chunk(("\n".join(buf) + "\n").encode())
+        self.wfile.write(b"0\r\n\r\n")
 
     def _write(self):
         eng = self._engine()

@@ -119,6 +119,56 @@ def parse_envelopes_once(
     return rec.select(*out_cols).filter(F.col(model.META_OP).isNotNull())
 
 
+def parse_envelopes_minimal(
+    raw: DataFrame,
+    key_columns: list[str],
+    stream: str = model.STREAM_NAME,
+    key_types: dict[str, T.DataType] | None = None,
+) -> DataFrame:
+    """Identity/cursor-only envelope parse — the keyed-ingest hot path.
+
+    Output: key columns + ``_ab_emitted_at, _ab_seq, _ab_op`` + the raw
+    ``value`` line. ONE ``from_json`` per line against a schema that types
+    only the identity keys, op and seq — Jackson still tokenizes the whole
+    line but materializes nothing else (no content UTF8String, no metadata
+    fields), and crucially no second ``get_json_object``/``json_object_keys``
+    parse rides along. LWW winner selection needs exactly these columns;
+    the full parse (+ the schema-evolution key probe) runs afterwards on
+    winners only — at a 20:1 conflict ratio that is 5% of the events.
+    Filters (RECORD type, stream, op present) are identical to
+    :func:`parse_envelopes_once`, so a malformed event can never win a key
+    it would previously have lost.
+
+    ``key_types``: data types for the key columns (from the table schema) —
+    parsing a non-string key as string would hash-bucket it differently
+    from the table's typed ``with_bucket`` and break bucket locality."""
+    key_types = key_types or {}
+    min_data = T.StructType(
+        [
+            T.StructField(k, key_types.get(k, T.StringType()), True)
+            for k in key_columns
+        ]
+        + [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("seq", T.LongType(), True),
+        ]
+    )
+    env_schema = model.envelope_schema(min_data)
+    env = raw.select(
+        F.col("value"), F.from_json(F.col("value"), env_schema).alias("m")
+    )
+    rec = env.filter(
+        (F.col("m.type") == "RECORD") & (F.col("m.record.stream") == stream)
+    )
+    return rec.select(
+        *[F.col(f"m.record.data.{k}").alias(k) for k in key_columns],
+        F.col("m.record.emitted_at").alias(model.META_EMITTED),
+        F.col("m.record.data.seq").cast("long").alias(model.META_SEQ),
+        F.col("m.record.data.op").alias(model.META_OP),
+        F.col("value"),
+    ).filter(F.col(model.META_OP).isNotNull())
+
+
 def observed_data_fields(raw: DataFrame, stream: str = model.STREAM_NAME) -> list[str]:
     """Distinct data-field names present in a (micro-)batch — the probe behind
     additive schema evolution (SURVEY.md §2.8 T4). Cheap: one distinct over

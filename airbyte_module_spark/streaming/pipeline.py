@@ -19,6 +19,7 @@ from __future__ import annotations
 import re
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,6 +43,7 @@ class CdcPipeline:
         auto_evolve: bool = True,
         collect_lineage: bool = True,
         post_merge_hook=None,
+        maintenance_every: int | None = 16,
     ):
         """``use_pandas_udfs`` switches normalize/sha to the Arrow-batched
         pandas UDF implementations (both are vectorized; the expression form
@@ -54,13 +56,40 @@ class CdcPipeline:
         ``abm/server.py:219-228``), except it receives the committed table
         instead of re-reading it through a second container. Runs after the
         commit, so a hook failure never loses the batch; exactly-once skips
-        (already-applied batches) do not re-fire it."""
+        (already-applied batches) do not re-fire it.
+
+        ``maintenance_every``: run :meth:`LakeTable.maintenance` (compact
+        buckets over the delta threshold) after every Nth committed batch —
+        off the commit critical path (the batch is already durable when it
+        runs) but inside the sink, so a long MoR replay/tail bounds its own
+        delta growth without an operator remembering to schedule anything.
+        ``None`` disables it (run maintenance() as an external background
+        job instead — the cluster-scale deployment shape)."""
         self.table = table
         self.stream = stream
         self.use_pandas_udfs = use_pandas_udfs
         self.auto_evolve = auto_evolve
         self.collect_lineage = collect_lineage
         self.post_merge_hook = post_merge_hook
+        self.maintenance_every = maintenance_every
+        self._batches_since_maintenance = 0
+        # per-batch phase wall-times (overwritten each batch) — the
+        # serial-fraction profile behind the N→4N scaling evidence
+        # (scripts/scaling_bench.py --profile reads this)
+        self.timings: dict[str, float] = {}
+
+    def _post_commit(self, version: int | None) -> None:
+        """After a durable commit: fire the user hook, then scheduled
+        maintenance every Nth applied batch (never on exactly-once skips)."""
+        if version is None:
+            return
+        if self.post_merge_hook is not None:
+            self.post_merge_hook(self.table, version)
+        if self.maintenance_every:
+            self._batches_since_maintenance += 1
+            if self._batches_since_maintenance >= self.maintenance_every:
+                self._batches_since_maintenance = 0
+                self.table.maintenance()
 
     # ------------------------------------------------------------ transforms
     def data_schema(self) -> T.StructType:
@@ -98,19 +127,42 @@ class CdcPipeline:
         conservative type from one sample value per field (the reference
         plays the same 'number may be int or double, play it safe' game at
         ``/root/reference/abm/connector.py:182-185``). Runs only on the rare
-        batch that actually carries new fields."""
+        batch that actually carries new fields, and samples ALL new fields
+        in ONE aggregation job (first non-null value per field rides a
+        single pass over the batch) instead of one limit/collect job per
+        field."""
         env = raw.select(F.from_json(F.col("value"), model.ENVELOPE_SCHEMA).alias("m"))
+        samples = env.agg(
+            *[
+                F.first(
+                    F.get_json_object(F.col("m.record.data"), f"$.{name}"),
+                    ignorenulls=True,
+                ).alias(name)
+                for name in new
+            ]
+        ).collect()[0]
+        self.table.evolve(self._infer_fields(samples, new))
+
+    def _evolve_new_fields_from_winners(self, grouped: DataFrame, new: list[str]) -> None:
+        """Same type inference, sampling the CACHED winner lines (one job
+        over 1-row-per-key data) — the keyed path never re-reads the feed
+        for evolution."""
+        samples = grouped.agg(
+            *[
+                F.first(
+                    F.get_json_object(F.col("_w.value"), f"$.record.data.{name}"),
+                    ignorenulls=True,
+                ).alias(name)
+                for name in new
+            ]
+        ).collect()[0]
+        self.table.evolve(self._infer_fields(samples, new))
+
+    @staticmethod
+    def _infer_fields(samples, new: list[str]) -> list[T.StructField]:
         fields = []
         for name in new:
-            sample = (
-                env.select(
-                    F.get_json_object(F.col("m.record.data"), f"$.{name}").alias("v")
-                )
-                .filter(F.col("v").isNotNull())
-                .limit(1)
-                .collect()
-            )
-            v = sample[0]["v"] if sample else None
+            v = samples[name]
             if v is not None and _INT_RE.match(v):
                 dt: T.DataType = T.LongType()
             elif v is not None and _FLOAT_RE.match(v):
@@ -118,7 +170,7 @@ class CdcPipeline:
             else:
                 dt = T.StringType()
             fields.append(T.StructField(name, dt, True))
-        self.table.evolve(fields)
+        return fields
 
     # ----------------------------------------------------------------- batch
     def apply_batch(
@@ -127,107 +179,150 @@ class CdcPipeline:
         """Parse + dedup + transform + lineage + MERGE one batch of raw
         envelope lines. Shared by batch replay and the streaming sink.
 
-        Plan shape — SINGLE full-width pass over the feed:
+        Plan shape — minimal parse, full decode on WINNERS only:
 
-        1. ``parse_envelopes_once``: one from_json per line; the evolution
-           probe's key-name column rides the same scan.
-        2. ONE aggregation over (bucket, key) computes, per identity key:
-           the LWW winner (``max_by``, see lake.table.dedup_lww), the event
-           count, cursor/offset ranges, and the observed payload-field sets
-           — i.e. dedup, per-partition lineage, AND the schema-evolution
-           probe in the same job. Map-side partial aggregation collapses
-           conflicts before the exchange, so only surviving candidates
-           cross the wire. The tiny aggregate (1 row per live key) is what
-           gets cached — never the full-width feed: caching the parsed 10M-
-           event batch measured 20s at local[32] vs 4.7s for the parse
-           itself, scaled at 0.54 efficiency, and was the dominant
-           non-parallel cost of the whole replay.
-        3. lineage + probe are metadata-sized re-aggregations of the cached
-           aggregate; evolution re-parses the raw batch only when a new
-           field actually appeared.
+        1. ``parse_envelopes_minimal``: ONE ``from_json`` per line typing
+           only identity keys + op + seq (+ the envelope cursor); the raw
+           line rides along untouched. No full-payload decode, no second
+           ``json_object_keys`` parse — at a 20:1 conflict ratio, fully
+           decoding every event pays ~20x the decode the table needs
+           (measured: the r2 full-width parse with the probe column was
+           2.2x this parse on the 10M-event replay).
+        2. ONE aggregation over (bucket, key): the LWW winner's raw line
+           (``max_by`` over the cursor — see lake.table.dedup_lww for why
+           an aggregate, not a window), event count, cursor/offset ranges.
+           The buffer carries (line, cursor) — map-side partial aggregation
+           collapses conflicts before the exchange. The tiny aggregate
+           (1 row per live key) is what gets cached — never the parsed
+           full-width feed (caching that measured 20s vs 4.7s at r1).
+        3. The schema-evolution probe (``json_object_keys``), lineage, the
+           full payload decode, normalize + sha256 all run on winners only.
+           A new field triggers evolution when a WINNING row carries it (a
+           field seen only on LWW losers is superseded data); since winner
+           selection is schema-independent, evolution widens the table and
+           re-projects the CACHED winners — no second pass over the feed.
         4. winners take one cheap repartition onto the bucket key for the
-           per-bucket file write; normalize + sha256 run on winners only —
-           at high conflict rates that is the difference between hashing
-           the feed and hashing the table.
+           per-bucket file write.
         """
         keys = self.table.key_columns
         if not keys:
             return self._apply_batch_keyless(raw, batch_id, checkpoint_id)
 
+        tm = self.timings = {}
+        t_batch = time.time()
         order_key = F.struct(F.col(model.META_EMITTED), F.col(model.META_SEQ))
-        for attempt in range(2):
+        key_types = {
+            f.name: f.dataType
+            for f in self.table.schema().fields
+            if f.name in keys
+        }
+        minimal = feed_src.parse_envelopes_minimal(
+            raw, keys, self.stream, key_types=key_types
+        )
+        minimal = self.table.with_bucket(minimal)
+        aggs = [
+            F.max_by(
+                F.struct(
+                    F.col("value"),
+                    F.col(model.META_EMITTED),
+                    F.col(model.META_SEQ),
+                    F.col(model.META_OP),  # lineage counts winner deletes
+                ),
+                order_key,
+            ).alias("_w"),
+            F.count("*").alias("_n"),
+            F.min(model.META_EMITTED).alias("_mne"),
+            F.max(model.META_EMITTED).alias("_mxe"),
+            F.min(model.META_SEQ).alias("_mns"),
+            F.max(model.META_SEQ).alias("_mxs"),
+        ]
+        grouped = minimal.groupBy(model.BUCKET_COLUMN, *keys).agg(*aggs)
+        # explicit spill level: the cache is 1 row per live key in the
+        # batch — metadata-sized at normal batch cadence, but a 10^9-key
+        # backfill batch must spill to disk, not evict-and-recompute the
+        # full parse+agg (MEMORY_AND_DISK is also Spark's default for
+        # DataFrame.persist; pinned here so the spill behavior is a
+        # documented decision, not an inherited default)
+        grouped.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if self.auto_evolve:
+                t0 = time.time()
+                observed = [
+                    r[0]
+                    for r in grouped.select(
+                        F.explode(
+                            F.json_object_keys(
+                                F.get_json_object(
+                                    F.col("_w.value"), "$.record.data"
+                                )
+                            )
+                        ).alias("k")
+                    ).distinct().collect()
+                ]
+                tm["probe_collect"] = round(time.time() - t0, 3)
+                known = {f.name for f in self.data_schema().fields}
+                new = sorted(k for k in observed if k not in known)
+                if new:
+                    self._evolve_new_fields_from_winners(grouped, new)
+
             schema = self.data_schema()
-            parsed = feed_src.parse_envelopes_once(
-                raw, schema, self.stream, with_keys=self.auto_evolve
-            )
-            parsed = self.table.with_bucket(parsed)
-            # the winner struct carries ALL columns — including, when
-            # auto-evolving, the observed payload-field names — so the probe
-            # needs no separate collect_set aggregate (buffering key-name
-            # arrays per group measured ~2x on the whole agg). A new field
-            # triggers evolution when a WINNING row carries it; a field seen
-            # only on LWW losers is superseded data and widens the schema
-            # whenever it first wins.
-            aggs = [
-                F.max_by(F.struct(*parsed.columns), order_key).alias("_w"),
-                F.count("*").alias("_n"),
-                F.min(model.META_EMITTED).alias("_mne"),
-                F.max(model.META_EMITTED).alias("_mxe"),
-                F.min(model.META_SEQ).alias("_mns"),
-                F.max(model.META_SEQ).alias("_mxs"),
-            ]
-            grouped = parsed.groupBy(model.BUCKET_COLUMN, *keys).agg(*aggs)
-            grouped.persist()
+            lineage = None
+            if self.collect_lineage:
+                t0 = time.time()
+                lineage = lineage_from_grouped(
+                    grouped, batch_id, checkpoint_id
+                ).to_dict()
+                tm["lineage_collect"] = round(time.time() - t0, 3)
+
+            # shuffle.partitions can be non-numeric on some platforms
+            # (e.g. "auto" under auto-optimized shuffle) — fall back to
+            # the scheduler's default parallelism
             try:
-                if self.auto_evolve:
-                    observed = [
-                        r[0]
-                        for r in grouped.select(
-                            F.explode(f"_w.{model.META_KEYS}").alias("k")
-                        ).distinct().collect()
-                    ]
-                    known = {f.name for f in schema.fields}
-                    new = sorted(k for k in observed if k not in known)
-                    if new and attempt == 0:
-                        self._evolve_new_fields(raw, new)
-                        continue  # re-parse with the widened schema
-
-                lineage = None
-                if self.collect_lineage:
-                    lineage = lineage_from_grouped(
-                        grouped, batch_id, checkpoint_id
-                    ).to_dict()
-
-                # shuffle.partitions can be non-numeric on some platforms
-                # (e.g. "auto" under auto-optimized shuffle) — fall back to
-                # the scheduler's default parallelism
-                try:
-                    conf_parts = int(
-                        self.table.spark.conf.get("spark.sql.shuffle.partitions")
-                    )
-                except (TypeError, ValueError):
-                    conf_parts = self.table.spark.sparkContext.defaultParallelism
-                n_parts = max(self.table.n_buckets, conf_parts)
-                winners = grouped.select("_w.*")
-                if model.META_KEYS in winners.columns:
-                    winners = winners.drop(model.META_KEYS)
-                winners = winners.repartition(n_parts, F.col(model.BUCKET_COLUMN))
-                if "content" in winners.columns:
-                    winners = self.transform(winners)
-                version = self.table.merge(
-                    winners,
-                    batch_id=batch_id,
-                    checkpoint_id=checkpoint_id,
-                    lineage=lineage,
-                    pre_deduped=True,
-                    pre_partitioned=True,
+                conf_parts = int(
+                    self.table.spark.conf.get("spark.sql.shuffle.partitions")
                 )
-                if version is not None and self.post_merge_hook is not None:
-                    self.post_merge_hook(self.table, version)
-                return version
-            finally:
-                grouped.unpersist()
-        raise AssertionError("unreachable: evolution retries at most once")
+            except (TypeError, ValueError):
+                conf_parts = self.table.spark.sparkContext.defaultParallelism
+            n_parts = max(self.table.n_buckets, conf_parts)
+
+            # full decode of the winning lines (5% of events at 20:1
+            # conflict), projected through the current — possibly just
+            # widened — schema
+            env_schema = model.envelope_schema(schema)
+            user_cols = [
+                f.name for f in schema.fields if f.name not in ("op", "seq")
+            ]
+            w = grouped.select(
+                F.col(model.BUCKET_COLUMN),
+                F.col(f"_w.{model.META_EMITTED}").alias(model.META_EMITTED),
+                F.col(f"_w.{model.META_SEQ}").alias(model.META_SEQ),
+                F.from_json(F.col("_w.value"), env_schema).alias("m"),
+            )
+            winners = w.select(
+                *[F.col(f"m.record.data.{c}").alias(c) for c in user_cols],
+                F.col(model.META_EMITTED),
+                F.col(model.META_SEQ),
+                F.col("m.record.data.op").alias(model.META_OP),
+                F.col(model.BUCKET_COLUMN),
+            )
+            winners = winners.repartition(n_parts, F.col(model.BUCKET_COLUMN))
+            if "content" in winners.columns:
+                winners = self.transform(winners)
+            t0 = time.time()
+            version = self.table.merge(
+                winners,
+                batch_id=batch_id,
+                checkpoint_id=checkpoint_id,
+                lineage=lineage,
+                pre_deduped=True,
+                pre_partitioned=True,
+            )
+            tm["merge"] = round(time.time() - t0, 3)
+            tm["apply_batch_total"] = round(time.time() - t_batch, 3)
+            self._post_commit(version)
+            return version
+        finally:
+            grouped.unpersist()
 
     def _apply_batch_keyless(
         self, raw: DataFrame, batch_id: int, checkpoint_id: str
@@ -240,7 +335,7 @@ class CdcPipeline:
             raw, schema, self.stream, with_keys=self.auto_evolve
         )
         parsed = self.table.with_bucket(parsed)
-        parsed.persist()
+        parsed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if self.auto_evolve:
                 observed = [
@@ -260,7 +355,7 @@ class CdcPipeline:
                             raw, self.data_schema(), self.stream
                         )
                     )
-                    parsed.persist()
+                    parsed.persist(StorageLevel.MEMORY_AND_DISK)
             winners = parsed
             if "content" in winners.columns:
                 winners = self.transform(winners)
@@ -277,8 +372,7 @@ class CdcPipeline:
                 pre_deduped=True,
                 pre_partitioned=False,
             )
-            if version is not None and self.post_merge_hook is not None:
-                self.post_merge_hook(self.table, version)
+            self._post_commit(version)
             return version
         finally:
             parsed.unpersist()

@@ -64,6 +64,7 @@ def replay_until_steady(
     a still-ramping sequence like [290, 59, 84, 57, 66] reports 57s for a
     job whose true steady state is ~9s."""
     trials: list[float] = []
+    timings: list[dict] = []
     eng = None
     for i in range(max_runs):
         if i >= 2:
@@ -76,9 +77,17 @@ def replay_until_steady(
         eng = Engine(spark, os.path.join(work, f"table_{tag}{i}"), collect_lineage=True)
         t0 = time.time()
         eng.replay(feed, checkpoint_dir=os.path.join(work, f"ck_{tag}{i}"))
-        trials.append(round(time.time() - t0, 3))
+        total = round(time.time() - t0, 3)
+        trials.append(total)
+        # per-phase serial-fraction profile: driver-side collects, the write
+        # job, and everything the streaming machinery adds around the one
+        # apply_batch call (file listing, offset/commit logs, start/stop)
+        tm = {**eng.pipeline.timings, **eng.table.timings, "total": total}
+        tm["stream_overhead"] = round(total - tm.get("apply_batch_total", total), 3)
+        timings.append(tm)
         if len(trials) >= min_runs and max(trials[-2:]) <= 1.2 * min(trials):
             break
+    eng.trial_timings = timings
     return trials, eng
 
 

@@ -47,10 +47,21 @@ def run_worker(cpus: int, feed: str, work: str, min_runs: int = 5) -> None:
     chances at a lucky minimum and corrupting the ratio (observed: a 0.87
     efficiency re-measured at 0.45 purely from trial-count asymmetry +
     ambient noise). The JIT ramp is excluded identically at both levels by
-    taking the best of the same-sized trial set."""
+    taking the best of the same-sized trial set.
+
+    CPU affinity: the process (and the JVM + python workers it forks, which
+    inherit the mask) is pinned to exactly ``cpus`` cores. Without pinning,
+    a "local[8]" run on this 32-core box is NOT an 8-core cluster — GC and
+    JIT-compiler threads, Netty IO pools, parquet/zstd native compression and
+    the Python driver all spill onto the other 24 cores (JDK sizes those
+    pools from the host's 32 visible processors), flattering the small level
+    and corrupting the N→4N ratio. With the mask, Runtime.availableProcessors
+    honors it, so every JVM pool self-sizes to the level under test — the
+    faithful analogue of an executor container with a cpu limit."""
     from airbyte_module_spark import get_spark
     from bench import replay_until_steady
 
+    os.sched_setaffinity(0, set(range(cpus)))
     spark = get_spark(
         app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
@@ -59,6 +70,7 @@ def run_worker(cpus: int, feed: str, work: str, min_runs: int = 5) -> None:
     trials, eng = replay_until_steady(
         spark, feed, base, tag=f"c{cpus}_", min_runs=min_runs, max_runs=min_runs
     )
+    best = min(range(len(trials)), key=lambda i: trials[i])
     print(
         json.dumps(
             {
@@ -67,6 +79,10 @@ def run_worker(cpus: int, feed: str, work: str, min_runs: int = 5) -> None:
                 "trials": trials,
                 "final_rows": eng.read().count(),
                 "shuffle_partitions": cpus,
+                "pinned_cores": sorted(os.sched_getaffinity(0)),
+                # phase profile of the best trial: which parts of the replay
+                # are parallel work vs fixed driver/streaming overhead
+                "best_trial_phases": eng.trial_timings[best],
             }
         )
     )
@@ -162,6 +178,7 @@ def main() -> None:
                     prev["trials"] += r["trials"]
                     if r["replay_sec"] < prev["replay_sec"]:
                         prev["replay_sec"] = r["replay_sec"]
+                        prev["best_trial_phases"] = r.get("best_trial_phases")
                     assert prev["final_rows"] == r["final_rows"]
         for cpus in levels:
             results[cpus]["events_per_sec"] = round(

@@ -1,0 +1,208 @@
+"""Reference-shaped YAML asset config → served assets (ADVICE/VERDICT r2 #5).
+
+The YAML shapes mirror the reference samples byte-for-byte where possible:
+file asset = /root/reference/sample/sample.yaml:1-11 (minus the docker
+connector tag), jdbc asset = sample/read_mysql.yaml:5-14, secret merge =
+abm/connector.py:28-41 over abm/vault.py's provider contract.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from airbyte_module_spark.config import (
+    AssetConfig,
+    FileAsset,
+    JdbcAsset,
+    build_assets,
+)
+from airbyte_module_spark.server import EngineHttpServer
+
+
+@pytest.fixture()
+def userdata_csv(spark, tmp_path):
+    path = str(tmp_path / "userdata_csv")
+    spark.createDataFrame(
+        [(1, "amy", 100.0), (2, "bob", 200.5)], "id long, first_name string, salary double"
+    ).write.option("header", "true").csv(path)
+    return path
+
+
+def _yaml_config(tmp_path, text: str) -> str:
+    p = tmp_path / "config.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+def test_asset_config_lookup_contract(tmp_path):
+    cfg = AssetConfig(
+        _yaml_config(
+            tmp_path,
+            """
+data:
+  - name: "userdata"
+    connection:
+      name: file
+      file:
+        dataset_name: userdata
+        format: parquet
+        url: "/data/userdata.parquet"
+""",
+        )
+    )
+    assert cfg.asset_names() == ["userdata"]
+    assert cfg.for_asset("userdata")["connection"]["name"] == "file"
+    with pytest.raises(ValueError, match="undefined asset"):
+        cfg.for_asset("nope")  # abm/config.py:18 contract
+
+
+def test_file_asset_reads_and_serves_over_http(spark, tmp_path, userdata_csv):
+    assets = build_assets(
+        spark,
+        {
+            "data": [
+                {
+                    "name": "userdata",
+                    "connection": {
+                        "name": "file",
+                        "file": {"format": "csv", "url": userdata_csv},
+                    },
+                }
+            ]
+        },
+    )
+    assert isinstance(assets["userdata"], FileAsset)
+    assert sorted(f.name for f in assets["userdata"].schema().fields) == [
+        "first_name",
+        "id",
+        "salary",
+    ]
+    server = EngineHttpServer(assets).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/userdata"
+        ) as resp:
+            rows = [json.loads(ln) for ln in resp.read().decode().splitlines()]
+        assert sorted(r["first_name"] for r in rows) == ["amy", "bob"]
+    finally:
+        server.stop()
+
+
+def test_file_asset_write_roundtrip(spark, tmp_path):
+    dest = str(tmp_path / "out_json")
+    asset = FileAsset(
+        spark, "out", {"format": "jsonl", "destination_path": dest, "url": dest}
+    )
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    asset.write(df, mode="overwrite")
+    assert sorted(r.id for r in asset.read().collect()) == [1]
+
+
+def test_jdbc_asset_option_mapping(spark):
+    # read_mysql.yaml:5-14 shape; no DB server in the sandbox, so assert the
+    # resolved Spark JDBC option map (the same level sources/jdbc.py tests at)
+    asset = JdbcAsset(
+        spark,
+        "userdata",
+        {
+            "host": "db.example.internal",
+            "port": 3306,
+            "database": "fybrik",
+            "username": "root",
+            "password": "password",
+            "partition_column": "id",
+            "num_partitions": 16,
+            "lower_bound": 0,
+            "upper_bound": 1_000_000,
+        },
+        "mysql",
+    )
+    opts = asset.options()
+    assert opts["url"] == "jdbc:mysql://db.example.internal:3306/fybrik"
+    assert opts["dbtable"] == "userdata"
+    assert opts["user"] == "root"
+    assert (opts["partitionColumn"], opts["numPartitions"]) == ("id", "16")
+
+
+def test_credentials_provider_merge(spark, userdata_csv):
+    """vault_credentials blocks route through the pluggable provider and the
+    secrets overlay the connection config (abm/connector.py:28-41), nested
+    JSON decoded like the reference does."""
+    calls = []
+
+    def provider(vault_credentials, asset_name):
+        calls.append((vault_credentials["secretPath"], asset_name))
+        return {"url": userdata_csv, "extra": json.dumps({"nested": 1})}
+
+    assets = build_assets(
+        spark,
+        {
+            "data": [
+                {
+                    "name": "userdata",
+                    "connection": {
+                        "name": "file",
+                        "file": {
+                            "format": "csv",
+                            "vault_credentials": {"secretPath": "/v1/secret/data/cred"},
+                        },
+                    },
+                }
+            ]
+        },
+        credentials_provider=provider,
+    )
+    assert calls == [("/v1/secret/data/cred", "userdata")]
+    asset = assets["userdata"]
+    assert asset.conn["url"] == userdata_csv
+    assert asset.conn["extra"] == {"nested": 1}  # nested JSON decoded
+    assert "vault_credentials" not in asset.conn
+    assert sorted(r.first_name for r in asset.read().collect()) == ["amy", "bob"]
+
+
+def test_credentials_required_but_missing_is_loud(spark):
+    with pytest.raises(ValueError, match="credentials_provider"):
+        build_assets(
+            spark,
+            {
+                "data": [
+                    {
+                        "name": "x",
+                        "connection": {
+                            "name": "file",
+                            "file": {"vault_credentials": {}},
+                        },
+                    }
+                ]
+            },
+        )
+
+
+def test_unsupported_connection_kind_is_loud(spark):
+    with pytest.raises(ValueError, match="unsupported connection"):
+        build_assets(
+            spark,
+            {"data": [{"name": "x", "connection": {"name": "sheets", "sheets": {}}}]},
+        )
+
+
+def test_lake_asset_builds_engine(spark, tmp_path):
+    from airbyte_module_spark import Engine
+
+    assets = build_assets(
+        spark,
+        {
+            "data": [
+                {
+                    "name": "repo_files",
+                    "connection": {"name": "lake", "lake": {"path": "repo_files"}},
+                }
+            ]
+        },
+        lake_root=str(tmp_path),
+    )
+    assert isinstance(assets["repo_files"], Engine)
+    assert assets["repo_files"].table_path == str(tmp_path / "repo_files")

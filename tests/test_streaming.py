@@ -128,3 +128,27 @@ def test_restart_after_sink_crash_is_exactly_once(spark, tmp_path):
     pipe.apply_batch = orig
     pipe.replay_stream(feed, ck, max_files_per_trigger=1)
     assert_matches_oracle(table, events)
+
+
+def test_scheduled_maintenance_bounds_delta_growth(spark, tmp_path):
+    """ADVICE r2: merge never compacts inline, so a long MoR replay must
+    bound its own delta growth — CdcPipeline._post_commit runs
+    maintenance() every ``maintenance_every`` committed batches."""
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=23, n_events=400, n_shards=8), feed)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), n_buckets=2, compact_after_deltas=3
+    )
+    pipe = CdcPipeline(table, maintenance_every=2)
+    pipe.replay_stream(feed, str(tmp_path / "ck"), max_files_per_trigger=1)
+    snap = table.current_snapshot()
+    assert len(snap["applied_batches"]) >= 8
+    # without scheduled maintenance every bucket would carry ~8 delta files
+    # (one per batch, 2 buckets); with it, compaction folded them into bases
+    per_bucket: dict[int, int] = {}
+    for e in snap["entries"]:
+        if e["kind"] == "delta":
+            per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert all(n < 8 for n in per_bucket.values()) or not per_bucket
+    assert any(e["kind"] == "base" for e in snap["entries"])
+    assert_matches_oracle(table, events)
