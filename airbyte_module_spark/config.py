@@ -160,6 +160,36 @@ class JdbcAsset:
         write_jdbc(df, url, table, mode=mode, **kw)
 
 
+class ApiAsset:
+    """API/SaaS-connector asset (S5: source-google-sheets / source-us-census
+    shape): reads a paginated API through an injected fetcher (see
+    sources/rest.py — the transport callable is built by a registered
+    factory from the YAML connection block, the engine-side analogue of the
+    reference dispatching on the connector image name)."""
+
+    def __init__(self, spark: SparkSession, name: str, connection: dict, fetcher):
+        self.spark = spark
+        self.name = name
+        self.conn = connection
+        self.fetcher = fetcher
+
+    def read(self) -> DataFrame:
+        from airbyte_module_spark.sources.rest import read_api
+
+        return read_api(
+            self.spark,
+            self.fetcher,
+            schema=self.conn.get("schema"),
+            max_pages=int(self.conn.get("max_pages", 10_000)),
+        )
+
+    def schema(self) -> T.StructType:
+        return self.read().schema
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        raise ValueError(f"API asset {self.name!r} is read-only")
+
+
 class AssetConfig:
     """Parse a reference-shaped YAML (or pre-parsed dict) asset config.
     Same lookup contract as the reference's Config (abm/config.py:13-18):
@@ -197,15 +227,23 @@ def build_assets(
     config: AssetConfig | str | dict,
     credentials_provider: CredentialsProvider | None = None,
     lake_root: str | None = None,
+    api_fetchers: dict[str, Callable[[dict], Callable]] | None = None,
 ):
     """YAML config → ``{asset_name: served asset}`` registry for the
-    HTTP/Flight servers. ``lake_root`` anchors relative ``lake`` asset paths."""
+    HTTP/Flight servers. ``lake_root`` anchors relative ``lake`` asset paths.
+
+    ``api_fetchers`` registers API-connector kinds (e.g. ``read_sheets``,
+    ``read_census``): kind → factory(connection_block) → fetch_page
+    callable — the dispatch the reference does on connector image names
+    (``module.yaml:25-42``), with the transport injected instead of
+    dockerized."""
     import os
 
     from airbyte_module_spark.engine import Engine
 
     if not isinstance(config, AssetConfig):
         config = AssetConfig(config)
+    api_fetchers = api_fetchers or {}
     assets = {}
     for name in config.asset_names():
         info = config.for_asset(name)
@@ -216,6 +254,8 @@ def build_assets(
             assets[name] = FileAsset(spark, name, block)
         elif kind in _JDBC_DIALECTS:
             assets[name] = JdbcAsset(spark, name, block, _JDBC_DIALECTS[kind])
+        elif kind in api_fetchers:
+            assets[name] = ApiAsset(spark, name, block, api_fetchers[kind](block))
         elif kind == "lake":
             path = block.get("path", name)
             if lake_root and not os.path.isabs(path):
@@ -224,6 +264,7 @@ def build_assets(
         else:
             raise ValueError(
                 f"asset {name!r}: unsupported connection name {kind!r} "
-                f"(supported: file, {', '.join(_JDBC_DIALECTS)}, lake)"
+                f"(supported: file, {', '.join(_JDBC_DIALECTS)}, lake, "
+                f"registered api kinds: {sorted(api_fetchers)})"
             )
     return assets

@@ -122,13 +122,10 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     qv = F.when(
         F.size(F.col(vec_col)) == PLANE_DIM, quantize(F.col(vec_col))
     ).otherwise(
-        F.raise_error(
-            F.format_string(
-                f"embedding length %s != {PLANE_DIM} (vec_id %s)",
-                F.size(F.col(vec_col)).cast("string"),
-                F.col("vec_id").cast("string"),
-            )
-        )
+        # constant message: a formatted one costs extra codegen compile per
+        # plan (seconds under this sandbox's throttled JIT) for a branch
+        # that only ever fires on malformed input
+        F.raise_error(F.lit(f"embedding length != {PLANE_DIM} (vec_id column has a short/long vector)"))
     )
     return emb.select(
         "vec_id",

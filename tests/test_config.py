@@ -206,3 +206,70 @@ def test_lake_asset_builds_engine(spark, tmp_path):
     )
     assert isinstance(assets["repo_files"], Engine)
     assert assets["repo_files"].table_path == str(tmp_path / "repo_files")
+
+
+# ------------------------------------------------------------------- API (S5)
+def _census_fetcher(block):
+    """Sheets/census-shaped fake transport: 3 pages of rows derived from the
+    block's dataset id (no network egress in this sandbox — against the real
+    API this callable wraps urllib with the same signature)."""
+    dataset = block["dataset"]
+
+    def fetch(page):
+        if page >= 3:
+            return None
+        return [
+            {"dataset": dataset, "row_id": page * 2 + i, "population": 100 * page + i}
+            for i in range(2)
+        ]
+
+    return fetch
+
+
+def test_api_asset_paginates_and_serves(spark):
+    from airbyte_module_spark.config import ApiAsset
+
+    assets = build_assets(
+        spark,
+        {
+            "data": [
+                {
+                    "name": "acs",
+                    "connection": {
+                        "name": "read_census",
+                        "read_census": {"dataset": "acs/acs5"},
+                    },
+                }
+            ]
+        },
+        api_fetchers={"read_census": _census_fetcher},
+    )
+    asset = assets["acs"]
+    assert isinstance(asset, ApiAsset)
+    rows = asset.read().collect()
+    assert len(rows) == 6  # 3 pages x 2 rows, pagination stopped at None
+    assert sorted(r.row_id for r in rows) == list(range(6))
+    with pytest.raises(ValueError, match="read-only"):
+        asset.write(None)
+
+
+def test_api_distributed_matches_sequential(spark):
+    """The mapInPandas scale path returns the same rows as driver paging."""
+    from pyspark.sql import types as T
+
+    from airbyte_module_spark.sources.rest import read_api, read_api_distributed
+
+    def fetch(page):
+        if page >= 7:
+            return None
+        return [{"row_id": page * 3 + i, "v": f"p{page}r{i}"} for i in range(3)]
+
+    schema = T.StructType(
+        [T.StructField("row_id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    seq = read_api(spark, fetch, schema=schema)
+    dist = read_api_distributed(spark, fetch, n_pages=7, schema=schema)
+    assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, dist.collect()))
+    # the distributed plan fans out over executors, no driver collect
+    assert "mapInPandas" in dist._jdf.queryExecution().optimizedPlan().toString() \
+        or "MapInPandas" in dist._jdf.queryExecution().optimizedPlan().toString()

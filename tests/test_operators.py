@@ -373,5 +373,5 @@ def test_short_embedding_raises_not_silently_drops(spark):
     bad = spark.createDataFrame(
         [(0, [0.1] * 64), (1, [0.2] * 63)], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(Exception, match="embedding length 63"):
+    with pytest.raises(Exception, match="embedding length != 64"):
         with_quantized(bad).collect()
