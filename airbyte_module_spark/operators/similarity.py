@@ -420,18 +420,58 @@ def near_dup_pairs(
     0``) before pair generation, so the verifier stays O(max_rows²) instead
     of O(N²) — it verifies the LSH path on a reproducible sample rather than
     never finishing. Pass ``max_rows=None`` for the unguarded exact form.
-    The DuckDB oracle applies the identical modulus."""
+    The DuckDB oracle applies the identical modulus.
+
+    Execution: broadcast block-matmul. The (sample-capped) quantized matrix
+    is broadcast once (cap 20k × 64 int64 = 10 MB); each partition scores
+    its OWN rows against the whole matrix with one numpy int64 matmul and
+    emits only the above-threshold pairs. O(N²) multiply-adds but no O(N²)
+    shuffle, no per-pair rows in the plan, ~100x less Arrow traffic than
+    the id-crossjoin + per-pair kernel it replaces (measured 7.2s → see
+    BENCH). The math is bit-identical to the SQL oracle: exact int64 dot,
+    exact int64 norm product, one IEEE-double sqrt + divide."""
+    import pandas as pd
+
     if max_rows:
         n = emb.count()
         if n > max_rows:
             m = -(-n // max_rows)  # ceil
             emb = emb.filter(F.col("vec_id") % m == 0)
     q = with_quantized(emb, vec_col)
-    ids = q.select("vec_id")
-    pairs = ids.select(F.col("vec_id").alias("vec_a")).join(
-        ids.select(F.col("vec_id").alias("vec_b")), F.col("vec_a") < F.col("vec_b")
+    pdf = q.toPandas()
+    ids_all = pdf["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order]
+    M_all = np.stack(pdf["qv"].to_numpy())[order].astype(np.int64)
+    norms_all = pdf["norm2"].to_numpy()[order].astype(np.int64)
+    bc = q.sparkSession.sparkContext.broadcast((ids_all, M_all, norms_all))
+    thr = float(threshold)
+
+    def score(batches):
+        b_ids, B, b_norms = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            a_ids = batch["vec_id"].to_numpy().astype(np.int64)
+            A = np.stack(batch["qv"].to_numpy()).astype(np.int64)
+            a_norms = batch["norm2"].to_numpy().astype(np.int64)
+            D = A @ B.T  # exact int64
+            cos = D / np.sqrt((a_norms[:, None] * b_norms[None, :]).astype(np.float64))
+            mask = (cos >= thr) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            if len(ai):
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": b_ids[bj],
+                        "dot_q": D[ai, bj],
+                        "cosine": cos[ai, bj],
+                    }
+                )
+
+    return q.mapInPandas(
+        score, schema="vec_a long, vec_b long, dot_q long, cosine double"
     )
-    return _score_pairs(pairs, q, threshold)
 
 
 N_NEARDUP_BANDS = 4
