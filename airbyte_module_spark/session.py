@@ -47,17 +47,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # max_by(struct(...)) is a TypedImperativeAggregate → ObjectHashAgg,
-        # which silently degrades to SORT-based aggregation after only 128
-        # distinct keys per task (spark.sql.objectHashAggregate.sortBased.
-        # fallbackThreshold default). The LWW dedup groups by identity key —
-        # hundreds of thousands of distinct keys per task — so the default
-        # sorts the full-width batch on both sides of the exchange. Hashing
-        # all the way measured 13.7s → 7.7s on the 10M-event LWW aggregate
-        # at local[32]. Memory: the map holds one (line, cursor) buffer per
-        # distinct key in the task's partition — bounded by partition
-        # sizing, same regime the sort buffer occupied.
+        # ObjectHashAggregate (TypedImperativeAggregate buffers: the
+        # collect_list groupings in the MinHash/banded-LSH candidate
+        # expansion, collect_set, percentile) silently degrades to
+        # SORT-based aggregation after only 128 distinct keys per task
+        # (spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+        # default) — the dedup groupings carry thousands of keys per task.
+        # Hash all the way; memory is one buffer per in-partition distinct
+        # key, the same regime the sort buffer occupied. (The ingest LWW
+        # max_by(struct(...)) is NOT affected: a declarative aggregate with
+        # a struct buffer always plans as SortAggregate — its shuffle-volume
+        # bound comes from the partial phase, not the hash/sort choice.)
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        # the per-field schema-pruned from_json rewrite turns N extractions
+        # from one parsed envelope into N textually-distinct from_json
+        # calls, defeating subexpression elimination — the ingest parse
+        # (sources/feed._project_filter_once) relies on ONE shared
+        # from_json per line instead; pruning helps only extract-one-field-
+        # from-a-blob shapes this engine doesn't use
+        .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

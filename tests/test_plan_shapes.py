@@ -142,3 +142,41 @@ def test_pipeline_transform_vectorized(spark, use_pandas, tmp_path):
         assert "ArrowEvalPython" in plan
     else:
         assert "Python" not in plan
+
+
+def test_minimal_parse_ingest_plan_single_parse_no_probe_rider(spark, tmp_path):
+    """The r3 keyed ingest hot path must parse each feed line exactly ONCE
+    (one from_json with the minimal key/cursor schema). The r2 design let
+    the evolution probe ride the scan as get_json_object+json_object_keys —
+    a second and third JSON parse of every line; that must not reappear
+    below the aggregate. Partial max_by still sits below the only
+    full-width exchange (map-side combine)."""
+    from airbyte_module_spark import model
+    from airbyte_module_spark.lake.table import bucket_expr
+    from airbyte_module_spark.sources.feed import parse_envelopes_minimal
+    from airbyte_module_spark.sources.generator import FeedSpec, generate_feed
+
+    generate_feed(FeedSpec(seed=6, n_events=200), str(tmp_path / "feed"))
+    raw = spark.read.text(str(tmp_path / "feed"))
+    minimal = parse_envelopes_minimal(raw, ["repo", "path"]).withColumn(
+        model.BUCKET_COLUMN, bucket_expr(32, ["repo", "path"])
+    )
+    order_key = F.struct(F.col(model.META_EMITTED), F.col(model.META_SEQ))
+    grouped = minimal.groupBy(model.BUCKET_COLUMN, "repo", "path").agg(
+        F.max_by(
+            F.struct("value", model.META_EMITTED, model.META_SEQ, model.META_OP),
+            order_key,
+        ).alias("_w"),
+        F.count("*").alias("_n"),
+    )
+    plan = physical(grouped)
+    # the parse must NOT be pushed into scan-level filters: everything at or
+    # below the FileScan must be from_json-free (pushed predicates re-parse
+    # every line — measured 2.5x the single-parse cost)
+    scan_section = plan[plan.index("FileScan"):]
+    assert "from_json" not in scan_section, f"parse pushed into scan filters:\n{plan}"
+    assert "get_json_object" not in plan, f"probe parse rider reappeared:\n{plan}"
+    assert "json_object_keys" not in plan, f"probe parse rider reappeared:\n{plan}"
+    assert "partial_max_by" in plan and plan.index("partial_max_by") > plan.index(
+        "Exchange"
+    ), f"map-side combine missing:\n{plan}"
