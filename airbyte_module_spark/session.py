@@ -66,6 +66,12 @@ def get_spark(
         # from_json per line instead; pruning helps only extract-one-field-
         # from-a-blob shapes this engine doesn't use
         .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+        # v2 file-output commit: task outputs move to the destination at
+        # task commit instead of a second sequential driver-side rename pass
+        # at job commit — the standard cloud/object-store setting; the v1
+        # rename pass is serial in the driver and therefore a fixed cost
+        # that scales with file count, not with executors
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

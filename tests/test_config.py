@@ -108,7 +108,7 @@ def test_jdbc_asset_option_mapping(spark):
         spark,
         "userdata",
         {
-            "host": "db.example.internal",
+            "host": "db.example.com",
             "port": 3306,
             "database": "fybrik",
             "username": "root",
@@ -121,7 +121,7 @@ def test_jdbc_asset_option_mapping(spark):
         "mysql",
     )
     opts = asset.options()
-    assert opts["url"] == "jdbc:mysql://db.example.internal:3306/fybrik"
+    assert opts["url"] == "jdbc:mysql://db.example.com:3306/fybrik"
     assert opts["dbtable"] == "userdata"
     assert opts["user"] == "root"
     assert (opts["partitionColumn"], opts["numPartitions"]) == ("id", "16")
