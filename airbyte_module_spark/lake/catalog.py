@@ -50,6 +50,22 @@ class FileCatalog:
         with open(os.path.join(self.meta_dir, f"snap-{version}.json")) as f:
             return json.load(f)
 
+    def list_snapshot_versions(self) -> list[int]:
+        """All snapshot versions present in the catalog, ascending."""
+        out = []
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                out.append(int(name[5:-5]))
+        return sorted(out)
+
+    def delete_snapshot(self, version: int) -> None:
+        """Remove one immutable snapshot file (expiration; never the one the
+        pointer references — LakeTable.expire_snapshots enforces that)."""
+        try:
+            os.remove(os.path.join(self.meta_dir, f"snap-{version}.json"))
+        except FileNotFoundError:
+            pass
+
     def publish(self, snap: dict, expected_parent: int | None) -> None:
         """Persist the immutable snapshot file, then swap the pointer
         atomically iff the current version still equals ``expected_parent``

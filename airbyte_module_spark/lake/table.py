@@ -31,8 +31,18 @@ v2 table and everything above it is unchanged):
   replays — which is what lets a replay from any checkpoint reproduce the
   table byte-for-byte (BASELINE.json north_star).
 - **Exactly-once**: each merge records ``(checkpoint_id, batch_id)`` in the
-  snapshot; re-delivered batches are skipped. Even without the skip, LWW
-  makes re-application a no-op (idempotent MERGE).
+  snapshot; re-delivered batches are skipped. The record is RETAINED
+  BOUNDED (``max_applied_batches``, default 1024, most recent by version)
+  so snapshot metadata stays metadata-sized at 10^6+ batches — Structured
+  Streaming only ever re-delivers batches at/after the last unacknowledged
+  checkpoint offset, a window of ~1, so 1024 is a deep margin. Even for a
+  batch whose record has aged out, LWW makes re-application a no-op
+  (idempotent MERGE — the second line of defense).
+- **Snapshot expiration**: ``expire_snapshots(keep_last)`` (run from
+  ``maintenance()``) deletes snapshot files older than the retained window
+  and garbage-collects data dirs no retained snapshot references — the
+  Iceberg ``expireSnapshots`` analogue. Time travel / ``changes()`` across
+  expired versions fails with FileNotFoundError, same contract.
 - **Additive schema evolution**: the snapshot carries the table schema;
   ``evolve()`` widens it without data rewrite; readers project old files
   through the widened schema (missing columns null-filled).
@@ -110,6 +120,8 @@ class LakeTable:
         mode: str = "mor",
         compact_after_deltas: int = 8,
         key_columns: list[str] | None = None,
+        snapshot_retention: int = 64,
+        max_applied_batches: int = 1024,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the *data* schema
         (user columns + ``_ab_*`` metadata columns); defaults to the
@@ -132,6 +144,8 @@ class LakeTable:
                 "mode": mode,
                 "compact_after_deltas": compact_after_deltas,
                 "key_columns": key_columns if key_columns is not None else list(model.KEY_COLUMNS),
+                "snapshot_retention": snapshot_retention,
+                "max_applied_batches": max_applied_batches,
             },
         }
         t._write_snapshot(snap, expected_parent=None)
@@ -358,12 +372,18 @@ class LakeTable:
                 e["kind"] = "delta"
             new_entries = snap["entries"] + entries
 
+        applied = {**snap["applied_batches"], key: new_version}
+        max_applied = int(snap["properties"].get("max_applied_batches", 1024))
+        if len(applied) > max_applied:
+            applied = dict(
+                sorted(applied.items(), key=lambda kv: kv[1])[-max_applied:]
+            )
         new_snap = {
             **snap,
             "version": new_version,
             "parent": snap["version"],
             "entries": new_entries,
-            "applied_batches": {**snap["applied_batches"], key: new_version},
+            "applied_batches": applied,
             "lineage": (snap["lineage"] + [lineage])[-200:] if lineage else snap["lineage"],
         }
         self._write_snapshot(new_snap, expected_parent=snap["version"])
@@ -391,14 +411,47 @@ class LakeTable:
 
     def maintenance(self) -> int | None:
         """Explicit maintenance entry point (the Iceberg ``rewrite_data_files``
-        analogue): compact every bucket at/over the delta threshold. Returns
-        the new snapshot version, or None if nothing needed compaction. At
-        cluster scale this runs as a scheduled background job — never inside
-        ``merge()``."""
+        + ``expireSnapshots`` analogue): compact every bucket at/over the
+        delta threshold, then expire snapshot history past the retention
+        window. Returns the new snapshot version, or None if nothing needed
+        compaction. At cluster scale this runs as a scheduled background job
+        — never inside ``merge()``."""
         hot = self.buckets_needing_compaction()
-        if not hot:
-            return None
-        return self.compact(buckets=hot)
+        version = self.compact(buckets=hot) if hot else None
+        keep = int(
+            self.current_snapshot()["properties"].get("snapshot_retention", 64)
+        )
+        self.expire_snapshots(keep_last=keep)
+        return version
+
+    def expire_snapshots(
+        self, keep_last: int = 64, delete_orphan_data: bool = True
+    ) -> list[int]:
+        """Delete snapshot metadata older than the newest ``keep_last``
+        versions and (by default) garbage-collect data dirs referenced ONLY
+        by expired snapshots — without this, every compaction leaves its
+        superseded base/delta files on storage forever. Never touches a dir
+        any retained snapshot references. Returns the expired versions."""
+        import shutil
+
+        versions = self.catalog.list_snapshot_versions()
+        keep = set(versions[-keep_last:]) | {self.current_version()}
+        expired = [v for v in versions if v not in keep]
+        if not expired:
+            return []
+        kept_dirs: set[str] = set()
+        for v in keep:
+            kept_dirs |= {e["dir"] for e in self.snapshot(v)["entries"]}
+        for v in expired:
+            if delete_orphan_data:
+                for e in self.snapshot(v)["entries"]:
+                    if e["dir"] not in kept_dirs:
+                        shutil.rmtree(
+                            os.path.join(self.path, e["dir"]), ignore_errors=True
+                        )
+                        kept_dirs.add(e["dir"])  # rmtree once per dir
+            self.catalog.delete_snapshot(v)
+        return expired
 
     def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project a change batch onto the table schema: missing columns

@@ -207,3 +207,65 @@ def test_lineage_recorded(spark, tmp_path):
     assert rec["min_emitted_at"] <= rec["max_emitted_at"]
     assert rec["per_partition"], "per-partition lineage missing"
     assert sum(p["events"] for p in rec["per_partition"]) == rec["n_events"]
+
+
+def test_applied_batches_retention_bounded(spark, tmp_path):
+    """Snapshot metadata must stay metadata-sized at 10^6 batches: the
+    exactly-once record keeps only the newest ``max_applied_batches``
+    entries; recent re-deliveries still skip, and even an aged-out batch is
+    harmless to re-apply (LWW idempotence)."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import model
+
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=model.table_schema(sch),
+        key_columns=["k"], n_buckets=2, max_applied_batches=3,
+    )
+    df = lambda i: spark.createDataFrame([(f"k{i}", i)], sch).selectExpr(
+        "k", "v", f"{i}L as _ab_emitted_at", f"{i}L as _ab_seq", "'u' as _ab_op"
+    )
+    for i in range(6):
+        assert table.merge(df(i), batch_id=i, checkpoint_id="c") is not None
+    snap = table.current_snapshot()
+    assert len(snap["applied_batches"]) == 3
+    # most recent retained, re-delivery of a recent batch skips
+    assert table.merge(df(5), batch_id=5, checkpoint_id="c") is None
+    # aged-out batch re-applies but LWW keeps the state identical
+    before = table.digest()
+    assert table.merge(df(0), batch_id=0, checkpoint_id="c") is not None
+    assert table.digest() == before
+
+
+def test_snapshot_expiration_gc(spark, tmp_path):
+    """maintenance() expires snapshot history past the retention window and
+    deletes data dirs referenced only by expired snapshots — the current
+    state stays fully readable and compaction's superseded files actually
+    leave storage."""
+    import os
+
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=41, n_events=300, n_shards=6), feed)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), n_buckets=2, compact_after_deltas=2,
+        snapshot_retention=2,
+    )
+    pipe = CdcPipeline(table, maintenance_every=2)
+    pipe.replay_stream(feed, str(tmp_path / "ck"), max_files_per_trigger=1)
+    meta = os.path.join(str(tmp_path / "t"), "_meta")
+    snaps = [n for n in os.listdir(meta) if n.startswith("snap-")]
+    assert len(snaps) <= 3  # retention 2 + the current pointer's snapshot
+    # every data dir still on disk is referenced by a retained snapshot
+    retained_dirs = set()
+    for n in snaps:
+        v = int(n[5:-5])
+        retained_dirs |= {e["dir"] for e in table.snapshot(v)["entries"]}
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    on_disk = set()
+    for commit in os.listdir(data_root):
+        for pb in os.listdir(os.path.join(data_root, commit)):
+            if pb.startswith("_pb="):
+                on_disk.add(f"data/{commit}/{pb}")
+    assert on_disk <= retained_dirs | set(), f"orphans: {on_disk - retained_dirs}"
+    assert_matches_oracle(table, events)

@@ -152,3 +152,23 @@ def test_scheduled_maintenance_bounds_delta_growth(spark, tmp_path):
     assert all(n < 8 for n in per_bucket.values()) or not per_bucket
     assert any(e["kind"] == "base" for e in snap["entries"])
     assert_matches_oracle(table, events)
+
+
+def test_malformed_lines_skipped_like_reference(spark, tmp_path):
+    """Non-JSON garbage and JSON-with-missing-op lines must be skipped (the
+    reference's try/continue on connector stdout noise) — including under
+    the r3 single-parse projection, where the keep-predicate must evaluate
+    null-safe for unparseable lines."""
+    import json as _json
+
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=31, n_events=200, n_shards=4), feed)
+    with open(f"{feed}/shard-00000.json", "a") as f:
+        f.write("this is not json at all\n")
+        f.write("{\"type\": \"RECORD\"}\n")  # record with no payload
+        f.write(_json.dumps({"type": "RECORD", "record": {
+            "stream": "repo_files", "emitted_at": 10**15,
+            "data": {"repo": "r", "path": "p"}}}) + "\n")  # no op: skip
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    CdcPipeline(table).replay_stream(feed, str(tmp_path / "ck"))
+    assert_matches_oracle(table, events)
