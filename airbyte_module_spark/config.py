@@ -249,7 +249,14 @@ def build_assets(
         info = config.for_asset(name)
         conn = info.get("connection", {})
         kind = conn.get("name")
-        block = _merge_secrets(dict(conn.get(kind, {})), name, credentials_provider)
+        block = dict(conn.get(kind, {}))
+        # The reference reads vault_credentials at the ASSET level — sibling
+        # of 'connection' (abm/connector.py:28 checks config['vault_credentials']
+        # where config is the whole asset entry). Honor that placement too;
+        # a block-level key (engine-native placement) takes precedence.
+        if "vault_credentials" in info and "vault_credentials" not in block:
+            block["vault_credentials"] = info["vault_credentials"]
+        block = _merge_secrets(block, name, credentials_provider)
         if kind == "file":
             assets[name] = FileAsset(spark, name, block)
         elif kind in _JDBC_DIALECTS:

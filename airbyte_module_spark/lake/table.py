@@ -37,7 +37,8 @@ v2 table and everything above it is unchanged):
   Streaming only ever re-delivers batches at/after the last unacknowledged
   checkpoint offset, a window of ~1, so 1024 is a deep margin. Even for a
   batch whose record has aged out, LWW makes re-application a no-op
-  (idempotent MERGE — the second line of defense).
+  (idempotent MERGE — the second line of defense). KEYLESS tables have no
+  LWW defense, so their applied-batches record is never pruned.
 - **Snapshot expiration**: ``expire_snapshots(keep_last)`` (run from
   ``maintenance()``) deletes snapshot files older than the retained window
   and garbage-collects data dirs no retained snapshot references — the
@@ -374,7 +375,12 @@ class LakeTable:
 
         applied = {**snap["applied_batches"], key: new_version}
         max_applied = int(snap["properties"].get("max_applied_batches", 1024))
-        if len(applied) > max_applied:
+        # Keyless (append-mode) tables NEVER prune: the applied-batches record
+        # is their ONLY exactly-once defense — without an identity key there
+        # is no LWW to make a re-applied aged-out batch a no-op, so pruning
+        # would turn a late redelivery into duplicate rows. Keyed tables keep
+        # the bounded window (LWW is the second line of defense).
+        if keys and len(applied) > max_applied:
             applied = dict(
                 sorted(applied.items(), key=lambda kv: kv[1])[-max_applied:]
             )

@@ -118,8 +118,22 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vec_id, qv, norm2). Dimension check is LOUD: ``int_dot``'s unrolled
     literal indexing returns null (not an error) past the end of a short
     array, which would silently drop rows through downstream cosine
-    filters — so any vector whose length != PLANE_DIM raises here instead."""
+    filters — so any vector whose length != PLANE_DIM raises here instead.
+    A NULL vector is explicitly exempt from the loud contract: ``F.size``
+    is null for a null array, which would make the ``when`` condition null
+    and route the row into the raise_error branch with a misleading
+    length message. A null-embedding row can never be a candidate or a
+    pair member, so it is dropped by the filter below — but the expression
+    ALSO needs its own null branch: Catalyst copies it into inferred
+    not-null predicates (InferFiltersFromConstraints propagates
+    ``cosine >= t`` back to ``isnotnull(<quantize CASE>)`` on the scan,
+    ABOVE this filter in evaluation order), so a raise_error reachable on
+    null input fails the job from an optimizer-generated filter even
+    though the user plan filters first."""
+    emb = emb.filter(F.col(vec_col).isNotNull())
     qv = F.when(
+        F.col(vec_col).isNull(), F.lit(None).cast(T.ArrayType(T.LongType()))
+    ).when(
         F.size(F.col(vec_col)) == PLANE_DIM, quantize(F.col(vec_col))
     ).otherwise(
         # constant message: a formatted one costs extra codegen compile per
@@ -432,6 +446,7 @@ def near_dup_pairs(
     exact int64 norm product, one IEEE-double sqrt + divide."""
     import pandas as pd
 
+    PAIR_SCHEMA = "vec_a long, vec_b long, dot_q long, cosine double"
     if max_rows:
         n = emb.count()
         if n > max_rows:
@@ -439,6 +454,10 @@ def near_dup_pairs(
             emb = emb.filter(F.col("vec_id") % m == 0)
     q = with_quantized(emb, vec_col)
     pdf = q.toPandas()
+    if len(pdf) == 0:
+        # np.stack needs >= 1 array; an empty corpus has no pairs (the
+        # pre-matmul join form returned an empty DataFrame here too)
+        return emb.sparkSession.createDataFrame([], PAIR_SCHEMA)
     ids_all = pdf["vec_id"].to_numpy().astype(np.int64)
     order = np.argsort(ids_all)
     ids_all = ids_all[order]
@@ -469,9 +488,7 @@ def near_dup_pairs(
                     }
                 )
 
-    return q.mapInPandas(
-        score, schema="vec_a long, vec_b long, dot_q long, cosine double"
-    )
+    return q.mapInPandas(score, schema=PAIR_SCHEMA)
 
 
 N_NEARDUP_BANDS = 4

@@ -163,6 +163,50 @@ def test_credentials_provider_merge(spark, userdata_csv):
     assert sorted(r.first_name for r in asset.read().collect()) == ["amy", "bob"]
 
 
+def test_asset_level_vault_credentials_honored(spark, userdata_csv):
+    """ADVICE r3: the reference reads vault_credentials at the ASSET level —
+    sibling of 'connection' (abm/connector.py:28 checks the whole asset
+    entry) — so a reference-shaped YAML placing it there must route through
+    the provider too, not proceed silently unauthenticated."""
+    calls = []
+
+    def provider(vault_credentials, asset_name):
+        calls.append((vault_credentials["secretPath"], asset_name))
+        return {"url": userdata_csv}
+
+    assets = build_assets(
+        spark,
+        {
+            "data": [
+                {
+                    "name": "userdata",
+                    "vault_credentials": {"secretPath": "/v1/secret/data/cred"},
+                    "connection": {"name": "file", "file": {"format": "csv"}},
+                }
+            ]
+        },
+        credentials_provider=provider,
+    )
+    assert calls == [("/v1/secret/data/cred", "userdata")]
+    asset = assets["userdata"]
+    assert asset.conn["url"] == userdata_csv
+    assert "vault_credentials" not in asset.conn
+    # and with no provider, the asset-level placement is loud, not silent
+    with pytest.raises(ValueError, match="credentials_provider"):
+        build_assets(
+            spark,
+            {
+                "data": [
+                    {
+                        "name": "userdata",
+                        "vault_credentials": {"secretPath": "/x"},
+                        "connection": {"name": "file", "file": {"format": "csv"}},
+                    }
+                ]
+            },
+        )
+
+
 def test_credentials_required_but_missing_is_loud(spark):
     with pytest.raises(ValueError, match="credentials_provider"):
         build_assets(

@@ -238,6 +238,32 @@ def test_applied_batches_retention_bounded(spark, tmp_path):
     assert table.digest() == before
 
 
+def test_keyless_applied_batches_never_pruned(spark, tmp_path):
+    """ADVICE r3: a keyless (append-mode) table has no LWW second line of
+    defense, so its applied-batches record must NOT be pruned — a batch
+    re-delivered past the retention window would otherwise append duplicate
+    rows."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import model
+
+    sch = T.StructType([T.StructField("v", T.LongType())])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=model.table_schema(sch),
+        key_columns=[], n_buckets=2, max_applied_batches=3,
+    )
+    df = lambda i: spark.createDataFrame([(i,)], sch).selectExpr(
+        "v", f"{i}L as _ab_emitted_at", f"{i}L as _ab_seq", "'i' as _ab_op"
+    )
+    for i in range(6):
+        assert table.merge(df(i), batch_id=i, checkpoint_id="c") is not None
+    # ALL six batch records retained despite max_applied_batches=3
+    assert len(table.current_snapshot()["applied_batches"]) == 6
+    # a redelivery from far past the window still skips — no duplicate rows
+    assert table.merge(df(0), batch_id=0, checkpoint_id="c") is None
+    assert table.read().count() == 6
+
+
 def test_snapshot_expiration_gc(spark, tmp_path):
     """maintenance() expires snapshot history past the retention window and
     deletes data dirs referenced only by expired snapshots — the current

@@ -375,3 +375,37 @@ def test_short_embedding_raises_not_silently_drops(spark):
     )
     with pytest.raises(Exception, match="embedding length != 64"):
         with_quantized(bad).collect()
+
+
+def test_null_embedding_drops_not_crashes(spark):
+    """ADVICE r3: F.size(null) is null, which routed a NULL vector into the
+    raise_error branch with a misleading length message. A null embedding
+    must instead drop harmlessly — through quantization, the LSH scale
+    path, and the all-pairs verifier."""
+    from airbyte_module_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_lsh,
+        with_quantized,
+    )
+
+    mixed = spark.createDataFrame(
+        [(0, [0.5] * 64), (1, None), (2, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    assert sorted(r.vec_id for r in with_quantized(mixed).collect()) == [0, 2]
+    exact = near_dup_pairs(mixed, threshold=0.9)
+    assert [(r.vec_a, r.vec_b) for r in exact.collect()] == [(0, 2)]
+    lsh = near_dup_pairs_lsh(mixed, threshold=0.9)
+    assert [(r.vec_a, r.vec_b) for r in lsh.collect()] == [(0, 2)]
+
+
+def test_near_dup_pairs_empty_corpus(spark):
+    """ADVICE r3: np.stack over an empty corpus raised; the verifier must
+    return an empty DataFrame with the declared pair schema instead (the
+    pre-matmul join form did)."""
+    from airbyte_module_spark.operators.similarity import near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = near_dup_pairs(empty, threshold=0.5)
+    assert out.columns == ["vec_a", "vec_b", "dot_q", "cosine"]
+    assert out.count() == 0

@@ -217,6 +217,27 @@ def test_flight_do_put_preserves_nullable_ints_and_binary(spark, tmp_path):
     assert dict(eng.read().dtypes)["n_stars"] == "bigint"  # not double
 
 
+def test_arrow_batches_native_handles_struct_columns(spark):
+    """ADVICE r3: the per-row ``from_pylist`` loop failed on struct-typed
+    columns (pyspark Row objects) and paid a Python row loop on the read
+    hot path. The Arrow-native form must stream nested types correctly in
+    bounded batches."""
+    from airbyte_module_spark.server import _arrow_batches
+
+    df = spark.range(20).selectExpr(
+        "id", "named_struct('lo', id, 'hi', id * 2) AS bounds", "array(id, id) AS pair"
+    )
+    batches = list(_arrow_batches(df, batch_rows=4))
+    assert all(b.num_rows <= 4 for b in batches)
+    assert len(batches) >= 5
+    got = sorted(
+        (r["id"], r["bounds"]["lo"], r["bounds"]["hi"], tuple(r["pair"]))
+        for b in batches
+        for r in b.to_pylist()
+    )
+    assert got == [(i, i, 2 * i, (i, i)) for i in range(20)]
+
+
 def test_http_unknown_asset_404(asset):
     server = EngineHttpServer({"userdata": asset}).start()
     try:
