@@ -120,10 +120,12 @@ class Engine:
         cursor exactly like the reference stamps ``emitted_at=now_ms`` on
         every written record (``abm/server.py:202,209``). ``upsert`` applies
         LWW on the identity key. All three converge in MERGE — no per-row
-        Python anywhere (contrast ``abm/server.py:206-210``).
+        Python anywhere (contrast ``abm/server.py:206-210``). ``overwrite``
+        is ONE replacement commit (``merge(truncate=True)``): a crash leaves
+        either the full old state or the full new state, matching the
+        reference's per-request atomicity (one catalog handed to one
+        connector run, ``abm/server.py:182-187``).
         """
-        if mode == "overwrite":
-            self._truncate()
         table_cols = {f.name for f in self.table.schema().fields}
         new_cols = [
             T.StructField(f.name, f.dataType, True)
@@ -143,22 +145,14 @@ class Engine:
         if "content" in df.columns:
             changes = self.pipeline.transform(changes)
         version = self.table.merge(
-            changes, batch_id=now_ms, checkpoint_id=f"write-{mode}"
+            changes,
+            batch_id=now_ms,
+            checkpoint_id=f"write-{mode}",
+            truncate=(mode == "overwrite"),
         )
         if version is not None and self.pipeline.post_merge_hook is not None:
             self.pipeline.post_merge_hook(self.table, version)
         return version
-
-    def _truncate(self) -> None:
-        snap = self.table.current_snapshot()
-        new_snap = {
-            **snap,
-            "version": snap["version"] + 1,
-            "parent": snap["version"],
-            "entries": [],
-            "applied_batches": {},
-        }
-        self.table._write_snapshot(new_snap, expected_parent=snap["version"])
 
     # ------------------------------------------------------------------- cdc
     def replay(self, feed_path: str, checkpoint_dir: str | None = None) -> None:

@@ -304,6 +304,10 @@ class LakeTable:
         return new_version
 
     # ----------------------------------------------------------------- merge
+    # bounded optimistic-concurrency retries when another writer's commit
+    # races ours between snapshot read and pointer CAS
+    MERGE_CAS_RETRIES = 3
+
     def merge(
         self,
         changes: DataFrame,
@@ -312,6 +316,7 @@ class LakeTable:
         lineage: dict | None = None,
         pre_deduped: bool = False,
         pre_partitioned: bool = False,
+        truncate: bool = False,
     ) -> int | None:
         """MERGE a change batch (parsed rows with ``_ab_*`` metadata cols)
         into the table. Returns the new snapshot version, or None if the
@@ -326,7 +331,22 @@ class LakeTable:
         ``pre_deduped``/``pre_partitioned`` let the ingest pipeline promise
         the batch is already LWW-resolved and bucket-hash-partitioned, so the
         MoR fast path adds zero extra shuffles.
-        """
+
+        ``truncate=True`` makes this a REPLACEMENT commit (the atomic
+        overwrite): the published snapshot references only the batch's
+        files and a reset exactly-once record — one publish, so a crash at
+        any point leaves either the complete old state or the complete new
+        state, never an empty table (the r3 truncate-then-merge pair could).
+
+        Concurrency: publish is a compare-and-swap on the parent version; on
+        ``ConcurrentCommitError`` the merge retries up to
+        ``MERGE_CAS_RETRIES`` times with a REBASE — re-read the head, skip
+        if the racing writer already applied this very batch, re-point the
+        already-staged files at the new head (MoR deltas and truncating
+        replacements are position-independent, so this is metadata-only);
+        a COW rewrite is recomputed against the new target instead (its
+        staged files bake in the stale target) after removing the stale
+        staging dir."""
         snap = self.current_snapshot()
         key = f"{checkpoint_id}:{batch_id}"
         if key in snap["applied_batches"]:
@@ -342,7 +362,17 @@ class LakeTable:
             pre_partitioned = False
         winners = changes if pre_deduped or not keys else dedup_lww(changes, keys)
 
-        if mode == "cow":
+        if truncate:
+            entries = self._stage_write(
+                winners,
+                new_version,
+                pre_partitioned=pre_partitioned,
+                buckets=lineage.get("buckets") if lineage else None,
+            )
+            for e in entries:
+                e["kind"] = "base"
+            new_entries = entries
+        elif mode == "cow":
             # the affected-bucket set is already known from the lineage agg;
             # without lineage, one metadata-sized distinct
             buckets = (lineage or {}).get("buckets") or [
@@ -373,33 +403,69 @@ class LakeTable:
                 e["kind"] = "delta"
             new_entries = snap["entries"] + entries
 
-        applied = {**snap["applied_batches"], key: new_version}
+        staged_entries = entries
         max_applied = int(snap["properties"].get("max_applied_batches", 1024))
-        # Keyless (append-mode) tables NEVER prune: the applied-batches record
-        # is their ONLY exactly-once defense — without an identity key there
-        # is no LWW to make a re-applied aged-out batch a no-op, so pruning
-        # would turn a late redelivery into duplicate rows. Keyed tables keep
-        # the bounded window (LWW is the second line of defense).
-        if keys and len(applied) > max_applied:
-            applied = dict(
-                sorted(applied.items(), key=lambda kv: kv[1])[-max_applied:]
-            )
-        new_snap = {
-            **snap,
-            "version": new_version,
-            "parent": snap["version"],
-            "entries": new_entries,
-            "applied_batches": applied,
-            "lineage": (snap["lineage"] + [lineage])[-200:] if lineage else snap["lineage"],
-        }
-        self._write_snapshot(new_snap, expected_parent=snap["version"])
-        # NOTE: merge never compacts inline — a hot bucket crossing the delta
-        # threshold must not stall the ingest batch. CdcPipeline._post_commit
-        # runs maintenance() after every Nth committed batch (its
-        # ``maintenance_every`` option, default 16, after the commit is
-        # durable); deployments that disable it must schedule maintenance()
-        # as an external background job.
-        return new_version
+        for attempt in range(1 + self.MERGE_CAS_RETRIES):
+            if truncate:
+                applied = {key: new_version}  # fresh state, fresh record
+            else:
+                applied = {**snap["applied_batches"], key: new_version}
+                # Keyless (append-mode) tables NEVER prune: the
+                # applied-batches record is their ONLY exactly-once defense
+                # — without an identity key there is no LWW to make a
+                # re-applied aged-out batch a no-op, so pruning would turn a
+                # late redelivery into duplicate rows. Keyed tables keep the
+                # bounded window (LWW is the second line of defense).
+                if keys and len(applied) > max_applied:
+                    applied = dict(
+                        sorted(applied.items(), key=lambda kv: kv[1])[-max_applied:]
+                    )
+            new_snap = {
+                **snap,
+                "version": new_version,
+                "parent": snap["version"],
+                "entries": new_entries,
+                "applied_batches": applied,
+                "lineage": (snap["lineage"] + [lineage])[-200:] if lineage else snap["lineage"],
+            }
+            try:
+                self._write_snapshot(new_snap, expected_parent=snap["version"])
+            except ConcurrentCommitError:
+                if attempt == self.MERGE_CAS_RETRIES:
+                    raise
+                snap = self.current_snapshot()
+                if key in snap["applied_batches"]:
+                    return None  # the racing writer delivered this batch
+                if mode == "cow" and not truncate:
+                    # staged rewrite baked in the stale target — drop the
+                    # orphan staging dir and recompute against the new head
+                    if staged_entries:
+                        import shutil
+
+                        shutil.rmtree(
+                            os.path.dirname(
+                                os.path.join(self.path, staged_entries[0]["dir"])
+                            ),
+                            ignore_errors=True,
+                        )
+                    return self.merge(
+                        changes, batch_id, checkpoint_id, lineage,
+                        pre_deduped, pre_partitioned,
+                    )
+                # MoR delta / truncating replacement: staged files are
+                # position-independent — rebase metadata onto the new head
+                new_version = snap["version"] + 1
+                new_entries = (
+                    staged_entries if truncate else snap["entries"] + staged_entries
+                )
+                continue
+            # NOTE: merge never compacts inline — a hot bucket crossing the
+            # delta threshold must not stall the ingest batch.
+            # CdcPipeline._post_commit runs maintenance() after every Nth
+            # committed batch (its ``maintenance_every`` option, default 16,
+            # after the commit is durable); deployments that disable it must
+            # schedule maintenance() as an external background job.
+            return new_version
 
     def buckets_needing_compaction(self, limit: int | None = None) -> list[int]:
         """Buckets whose delta-file count has reached ``limit`` (defaults to

