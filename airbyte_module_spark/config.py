@@ -174,6 +174,31 @@ class ApiAsset:
         self.fetcher = fetcher
 
     def read(self) -> DataFrame:
+        """Driver paging by default; ``distributed: true`` + ``n_pages`` in
+        the YAML block fans the page fetches out across executors
+        (``read_api_distributed`` — requires an explicit ``schema`` and a
+        picklable fetcher; the census-style bulk shape)."""
+        if self.conn.get("distributed"):
+            from airbyte_module_spark.sources.rest import read_api_distributed
+
+            schema = self.conn.get("schema")
+            if schema is None:
+                raise ValueError(
+                    f"API asset {self.name!r}: distributed reads need an "
+                    "explicit 'schema' in the connection block"
+                )
+            if "n_pages" not in self.conn:
+                raise ValueError(
+                    f"API asset {self.name!r}: distributed reads need "
+                    "'n_pages' (known page count) in the connection block"
+                )
+            return read_api_distributed(
+                self.spark,
+                self.fetcher,
+                n_pages=int(self.conn["n_pages"]),
+                schema=schema,
+                partitions=self.conn.get("partitions"),
+            )
         from airbyte_module_spark.sources.rest import read_api
 
         return read_api(

@@ -63,10 +63,12 @@ class Engine:
         self.pipeline = CdcPipeline(self.table, **pipeline_opts)
 
     # -------------------------------------------------------------- querying
-    def read(self) -> DataFrame:
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
         """Current winners, metadata columns stripped (reference GET /asset,
-        ``/root/reference/abm/server.py:39-60``)."""
-        return self.table.read()
+        ``/root/reference/abm/server.py:39-60``). ``buckets`` restricts to a
+        subset of hash buckets — complete per identity key, so parallel
+        clients can split a read bucket-wise (per-bucket Flight endpoints)."""
+        return self.table.read(buckets=buckets)
 
     def schema(self) -> T.StructType:
         """User-facing schema (reference get_flight_info discovery,

@@ -222,14 +222,26 @@ class LakeTable:
             df = dedup_lww(df, keys)
         return df
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
         """User-facing read: winners only, no tombstones, metadata columns
         stripped — mirroring the reference's ``_airbyte_*`` stripping
-        (``/root/reference/abm/connector.py:115-117``)."""
-        df = self.read_internal(version=version)
+        (``/root/reference/abm/connector.py:115-117``). ``buckets`` prunes
+        to a subset of hash buckets — safe to read in parallel slices
+        because every identity key lives wholly inside one bucket, so
+        per-bucket LWW resolution is complete and the union of all bucket
+        reads equals the full read (the per-bucket Flight endpoints lean on
+        this)."""
+        df = self.read_internal(version=version, buckets=buckets)
         live = df.filter(F.col(model.META_OP) != "d")
         keep = [c for c in live.columns if not c.startswith(model.META_PREFIX)]
         return live.select(*keep)
+
+    def live_buckets(self) -> list[int]:
+        """Buckets referenced by the current snapshot, ascending — the
+        natural parallel-read split (one Flight endpoint per bucket)."""
+        return sorted({e["bucket"] for e in self.current_snapshot()["entries"]})
 
     # ----------------------------------------------------------------- write
     def _stage_write(

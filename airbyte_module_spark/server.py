@@ -154,22 +154,47 @@ if HAVE_FLIGHT:
         # ---------------------------------------------------------- discovery
         def get_flight_info(self, context, descriptor):
             """Schema discovery: metadata lookup instead of the reference's
-            dockerized `discover` round-trip; single endpoint, unknown
-            record/byte counts = -1, exactly like abm/server.py:238-256."""
+            dockerized `discover` round-trip; unknown record/byte counts =
+            -1, exactly like abm/server.py:238-256.
+
+            Lake-table assets return ONE ENDPOINT PER LIVE BUCKET (ticket
+            carries the bucket list) so clients can read all slices
+            CONCURRENTLY — every identity key lives wholly inside one
+            bucket, so per-bucket reads are complete and their union equals
+            the single-stream read. This beats the reference's documented
+            structural ceiling (one endpoint/ticket per asset,
+            abm/server.py:253). Non-bucketed assets keep the single
+            endpoint."""
             asset = descriptor.command.decode() if descriptor.command else descriptor.path[0].decode()
             eng = self._engine(asset)
             schema = _arrow_schema(eng.read())  # metadata-only, no Spark job
-            ticket = fl.Ticket(json.dumps({"asset_name": asset}).encode())
-            endpoint = fl.FlightEndpoint(ticket, [])
-            return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+            bucket_groups: list[list[int] | None] = [None]
+            if hasattr(eng, "table"):  # lake-table asset: bucket-sliced
+                live = eng.table.live_buckets()
+                if live:
+                    bucket_groups = [[b] for b in live]
+            endpoints = []
+            for group in bucket_groups:
+                payload: dict = {"asset_name": asset}
+                if group is not None:
+                    payload["buckets"] = group
+                endpoints.append(
+                    fl.FlightEndpoint(fl.Ticket(json.dumps(payload).encode()), [])
+                )
+            return fl.FlightInfo(schema, descriptor, endpoints, -1, -1)
 
         # --------------------------------------------------------------- read
         def do_get(self, context, ticket):
-            """Streamed read: a GeneratorStream fed batch-by-batch from
-            ``toLocalIterator`` — reference parity with its streamed
-            response (abm/server.py:159) plus bounded driver memory."""
-            asset = _asset_from_ticket(ticket.ticket)
-            df = self._engine(asset).read()
+            """Streamed read: a GeneratorStream fed batch-by-batch from the
+            Arrow-native iterator — reference parity with its streamed
+            response (abm/server.py:159) plus bounded driver memory. A
+            ticket carrying ``buckets`` serves just that bucket slice
+            (issued per-bucket by get_flight_info for lake assets)."""
+            payload = json.loads(ticket.ticket.decode())
+            asset = payload["asset_name"]
+            eng = self._engine(asset)
+            buckets = payload.get("buckets")
+            df = eng.read(buckets=buckets) if buckets is not None else eng.read()
             return fl.GeneratorStream(_arrow_schema(df), _arrow_batches(df))
 
         # -------------------------------------------------------------- write

@@ -90,7 +90,7 @@ def read_api_distributed(
     spark: SparkSession,
     fetch_page: Fetcher,
     n_pages: int,
-    schema: T.StructType,
+    schema: T.StructType | str,
     partitions: int | None = None,
 ) -> DataFrame:
     """Parallel paging: ``n_pages`` known page indices fetched by executors
@@ -101,6 +101,8 @@ def read_api_distributed(
     shape the reference's single connector container cannot express."""
     import pandas as pd
 
+    if isinstance(schema, str):  # YAML configs give DDL strings
+        schema = T.StructType.fromDDL(schema)
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     pages = spark.range(0, n_pages, 1, min(partitions, max(n_pages, 1)))

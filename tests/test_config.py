@@ -317,3 +317,65 @@ def test_api_distributed_matches_sequential(spark):
     # the distributed plan fans out over executors, no driver collect
     assert "mapInPandas" in dist._jdf.queryExecution().optimizedPlan().toString() \
         or "MapInPandas" in dist._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_api_asset_distributed_from_yaml(spark):
+    """VERDICT r3 #7: 'distributed: true' + 'n_pages' in the YAML API block
+    routes through read_api_distributed (executor-side page fan-out) and
+    serves the same rows over HTTP as the driver-paging path."""
+    import urllib.request as _rq
+
+    from airbyte_module_spark.server import EngineHttpServer
+
+    assets = build_assets(
+        spark,
+        {
+            "data": [
+                {
+                    "name": "acs",
+                    "connection": {
+                        "name": "read_census",
+                        "read_census": {
+                            "dataset": "acs/acs5",
+                            "distributed": True,
+                            "n_pages": 3,
+                            "schema": "dataset string, row_id long, population long",
+                        },
+                    },
+                }
+            ]
+        },
+        api_fetchers={"read_census": _census_fetcher},
+    )
+    asset = assets["acs"]
+    df = asset.read()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan  # executor fan-out
+    assert sorted(r.row_id for r in df.collect()) == list(range(6))
+    server = EngineHttpServer({"acs": asset}).start()
+    try:
+        with _rq.urlopen(f"http://127.0.0.1:{server.port}/acs") as resp:
+            rows = [json.loads(ln) for ln in resp.read().decode().splitlines()]
+        assert sorted(r["row_id"] for r in rows) == list(range(6))
+    finally:
+        server.stop()
+
+
+def test_api_asset_distributed_missing_requirements_is_loud(spark):
+    assets = build_assets(
+        spark,
+        {
+            "data": [
+                {
+                    "name": "acs",
+                    "connection": {
+                        "name": "read_census",
+                        "read_census": {"dataset": "d", "distributed": True},
+                    },
+                }
+            ]
+        },
+        api_fetchers={"read_census": _census_fetcher},
+    )
+    with pytest.raises(ValueError, match="schema"):
+        assets["acs"].read()
