@@ -114,37 +114,69 @@ def plane_coeffs(n_planes: int = N_PLANES, dim: int = PLANE_DIM) -> list[list[in
     return planes
 
 
-def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, qv, norm2). Dimension check is LOUD: ``int_dot``'s unrolled
-    literal indexing returns null (not an error) past the end of a short
-    array, which would silently drop rows through downstream cosine
-    filters — so any vector whose length != PLANE_DIM raises here instead.
-    A NULL vector is explicitly exempt from the loud contract: ``F.size``
-    is null for a null array, which would make the ``when`` condition null
-    and route the row into the raise_error branch with a misleading
-    length message. A null-embedding row can never be a candidate or a
-    pair member, so it is dropped by the filter below — but the expression
-    ALSO needs its own null branch: Catalyst copies it into inferred
-    not-null predicates (InferFiltersFromConstraints propagates
-    ``cosine >= t`` back to ``isnotnull(<quantize CASE>)`` on the scan,
-    ABOVE this filter in evaluation order), so a raise_error reachable on
-    null input fails the job from an optimizer-generated filter even
-    though the user plan filters first."""
-    emb = emb.filter(F.col(vec_col).isNotNull())
-    qv = F.when(
-        F.col(vec_col).isNull(), F.lit(None).cast(T.ArrayType(T.LongType()))
-    ).when(
-        F.size(F.col(vec_col)) == PLANE_DIM, quantize(F.col(vec_col))
-    ).otherwise(
-        # constant message: a formatted one costs extra codegen compile per
-        # plan (seconds under this sandbox's throttled JIT) for a branch
-        # that only ever fires on malformed input
-        F.raise_error(F.lit(f"embedding length != {PLANE_DIM} (vec_id column has a short/long vector)"))
+def _quantize_np(vectors) -> np.ndarray:
+    """Quantize a batch of length-``PLANE_DIM`` float vectors to int64:
+    exact round-half-away-from-zero of x*1000 (``np.rint`` everywhere —
+    identical to half-away except on exact .5 fractions, corrected via
+    trunc±1). Bit-identical to Spark ``F.round`` HALF_UP and DuckDB
+    ``round()`` on this data. LOUD on any length != PLANE_DIM (same
+    contract as :func:`with_quantized`)."""
+    if any(len(x) != PLANE_DIM for x in vectors):
+        raise ValueError(
+            f"embedding length != {PLANE_DIM} (vec_id column has a short/long vector)"
+        )
+    V = np.stack(np.asarray(vectors, dtype=object)).astype(np.float64) * 1000.0
+    R = np.rint(V)
+    tr = np.trunc(V)
+    half = np.abs(V - tr) == 0.5
+    return np.where(half, tr + np.copysign(1.0, V), R).astype(np.int64)
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("qv", T.ArrayType(T.LongType())),
+            T.StructField("norm2", T.LongType()),
+        ]
     )
-    return emb.select(
-        "vec_id",
-        qv.alias("qv"),
-    ).withColumn("norm2", int_dot(F.col("qv"), F.col("qv")))
+)
+def _quantize_norm_arrow(e: pd.Series) -> pd.DataFrame:
+    """Arrow-batched quantization + norm: array<double> embedding →
+    (qv = round-half-away(x*1000) as int64, norm2 = qv·qv).
+
+    One numpy pass replaces the Catalyst ``transform`` + unrolled 64-term
+    norm expression — ``transform``'s lambda is interpreted PER ELEMENT in
+    Spark 4, and the dimension-checking CASE around it was cloned 128×
+    into the norm and again into optimizer-inferred not-null filters
+    (InferFiltersFromConstraints), which dominated ann_topk's cost
+    (measured 0.7s → 0.31s for the quantize stage alone at sf0.1).
+    Rounding is exact round-half-away-from-zero (rint everywhere, trunc±1
+    on exact .5 fractions) — bit-identical to Spark's ``F.round`` HALF_UP
+    and DuckDB's ``round()`` on this data (equality pinned against the
+    expression form by tests and the oracle gate)."""
+    if len(e) == 0:
+        return pd.DataFrame(
+            {"qv": pd.Series([], dtype=object), "norm2": pd.Series([], dtype="int64")}
+        )
+    Q = _quantize_np(e)
+    return pd.DataFrame({"qv": list(Q), "norm2": (Q * Q).sum(axis=1)})
+
+
+def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, qv, norm2) via ONE Arrow kernel pass. Dimension check is
+    LOUD: ``int_dot``'s literal indexing returns null (not an error) past
+    the end of a short array, which would silently drop rows through
+    downstream cosine filters — so any vector whose length != PLANE_DIM
+    raises inside the kernel instead. A NULL vector is exempt from the
+    loud contract: it can never be a candidate or a pair member, so it is
+    dropped by the filter here (equivalent to the null propagating through
+    every downstream cosine filter, and it keeps None out of the numpy
+    kernels)."""
+    return (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select("vec_id", _quantize_norm_arrow(F.col(vec_col)).alias("_qn"))
+        .select("vec_id", F.col("_qn.qv").alias("qv"), F.col("_qn.norm2").alias("norm2"))
+    )
 
 
 def _srp_codes_udf(n_bands: int, rows_per_band: int):
@@ -189,13 +221,15 @@ def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def _score_candidates(cands: DataFrame) -> DataFrame:
     """(query candidates with qv/q_qv/norms) → (query_id, neighbor_id,
-    dot_q, cosine). Two stacked projections so the 64-term ``int_dot`` is
-    evaluated ONCE per candidate: putting ``dot`` and ``cosine(dot, ...)``
-    in the same select duplicates the 64-term tree (measured 2x on ann_topk
-    — whole-stage codegen does not CSE across the two aliases), while
-    CollapseProject declines to merge these projects because ``dot_q`` is
-    non-cheap and referenced twice in the upper one."""
-    dot = int_dot(F.col("q_qv"), F.col("qv"))
+    dot_q, cosine). The per-pair dot runs through the Arrow numpy kernel
+    (:func:`_dot64_arrow`) — the same discipline as :func:`_score_pairs`:
+    the unrolled 64-term Catalyst form measured ~22 µs/candidate on
+    ann_topk at sf0.1 (interpreted once folded out of codegen), the kernel
+    ~0.05 µs plus the Arrow column hop. The stacked projections keep the
+    dot evaluated ONCE per candidate (codegen does not CSE across
+    aliases, and CollapseProject declines to inline a non-cheap expr
+    referenced twice above)."""
+    dot = _dot64_arrow(F.col("q_qv"), F.col("qv"))
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -231,17 +265,57 @@ def ann_brute_force(
 ) -> DataFrame:
     """Exact cosine top-k: the first ``n_queries`` vec_ids are the query set,
     broadcast against the whole corpus; rank by (cosine desc, vec_id) per
-    query. Output: (query_id, neighbor_id, rank, dot_q, cosine)."""
-    q = with_quantized(emb, vec_col)
-    queries = q.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("norm2").alias("q_norm2"),
-    )
-    pairs = q.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    return _rank_topk(_score_candidates(pairs), k)
+    query. Output: (query_id, neighbor_id, rank, dot_q, cosine).
+
+    Execution is MAP-SIDE TOP-K: the (tiny) quantized query matrix is
+    broadcast, each corpus partition scores its own rows with one numpy
+    int64 matmul and emits only its per-batch top-k per query, and the
+    final rank window sees Q·k·partitions candidate rows instead of Q·N
+    scored pairs. Per-batch top-k uses the identical (cosine desc,
+    neighbor_id asc) order as the global window, so the global winners are
+    always inside the surviving candidates — exactness is unchanged while
+    the shuffle shrinks from the corpus size to metadata size (the r1-r3
+    crossJoin + full-width window form shuffled every scored pair; at
+    10^8 vectors that window IS the job). Math is bit-identical to the
+    DuckDB oracle: exact int64 dot/norms, one IEEE-double sqrt+divide."""
+    corpus = emb.filter(F.col(vec_col).isNotNull()).select("vec_id", vec_col)
+    qrows = (
+        corpus.filter(F.col("vec_id") < n_queries).collect()
+    )  # tiny pushed-down scan; queries ride a broadcast, never a join
+    out_schema = "query_id long, neighbor_id long, dot_q long, cosine double"
+    if not qrows:
+        empty = emb.sparkSession.createDataFrame([], out_schema)
+        return _rank_topk(empty, k)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    QM = _quantize_np([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_norms = (QM * QM).sum(axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, QM, q_norms))
+
+    def score(batches):
+        q_ids, QM, q_norms = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["vec_id"].to_numpy().astype(np.int64)
+            C = _quantize_np(b[vec_col].to_numpy())
+            norms = (C * C).sum(axis=1)
+            D = QM @ C.T  # exact int64, (n_queries, batch)
+            cos = D / np.sqrt((q_norms[:, None] * norms[None, :]).astype(np.float64))
+            for qi in range(len(q_ids)):
+                cand = np.nonzero(ids != q_ids[qi])[0]
+                order = np.lexsort((ids[cand], -cos[qi, cand]))[:k]
+                sel = cand[order]
+                if len(sel):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": ids[sel],
+                            "dot_q": D[qi, sel],
+                            "cosine": cos[qi, sel],
+                        }
+                    )
+
+    return _rank_topk(corpus.mapInPandas(score, schema=out_schema), k)
 
 
 def ann_lsh(

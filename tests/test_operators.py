@@ -409,3 +409,29 @@ def test_near_dup_pairs_empty_corpus(spark):
     out = near_dup_pairs(empty, threshold=0.5)
     assert out.columns == ["vec_a", "vec_b", "dot_q", "cosine"]
     assert out.count() == 0
+
+
+def test_quantize_kernel_matches_spark_round_half_up(spark):
+    """The numpy quantization kernel (rint + exact-half correction) must be
+    bit-identical to Spark's F.round HALF_UP (and DuckDB's round, which the
+    oracles use) — including exact .5 fractions both signs."""
+    import numpy as np
+
+    from airbyte_module_spark.operators.similarity import _quantize_np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-2.0, 2.0, size=(50, 64))
+    # force exact half fractions at x*1000 into some vectors
+    vecs[0, :] = np.arange(64) / 1000.0 + 0.0005
+    vecs[1, :] = -(np.arange(64) / 1000.0 + 0.0005)
+    vecs[2, :] = 0.0005 * np.arange(-32, 32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    expr = df.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(round(x * 1000) as bigint)) AS qv"
+    )
+    expected = {r.vec_id: r.qv for r in expr.collect()}
+    got = {i: list(q) for i, q in enumerate(_quantize_np(list(vecs)))}
+    assert got == expected

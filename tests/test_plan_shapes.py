@@ -114,12 +114,18 @@ def test_dot_product_is_codegen(spark):
     assert "zip_with" not in plan and "aggregate(" not in plan, plan
 
 
-def test_ann_bruteforce_broadcasts_queries(spark):
+def test_ann_bruteforce_is_mapside_topk(spark):
+    """r4 shape: queries ride a TorrentBroadcast into a mapInPandas kernel
+    that emits per-batch top-k only — the plan has NO join of any kind (the
+    r1-r3 crossJoin form shuffled every scored pair into the rank window)
+    and the window's input is the candidate stream, not the corpus."""
     from airbyte_module_spark.operators.similarity import ann_brute_force
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = physical(ann_brute_force(emb, n_queries=5, k=3))
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 @pytest.mark.parametrize("use_pandas", [False, True])
