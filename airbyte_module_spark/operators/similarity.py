@@ -384,22 +384,40 @@ def ivf_assign(
     """IVF coarse assignment: (vec_id, qv, norm2, cell) with cell = argmax
     cosine(v, centroid), tiebreak lowest cell id.
 
-    Plan shape: broadcast the (tiny) centroid set, score N×n_cells rows
-    map-side, then ONE hash aggregation on vec_id whose map-side combine
-    collapses the n_cells rows per vector before the exchange — the shuffle
-    carries N rows, not N×n_cells. No driver collect; centroids stay a
-    DataFrame."""
+    Plan shape: the (tiny, deterministic) centroid matrix is collected once
+    and broadcast into ONE Arrow kernel that computes each batch's
+    N×n_cells cosine block as a single numpy matmul and takes the row
+    argmax — no crossJoin, no N×n_cells intermediate rows, no aggregation
+    exchange at all (the r1-r3 form broadcast-joined then map-side-combined
+    an argmax aggregate; correct shape, but it evaluated the 64-term dot
+    expression interpreted N×n_cells times — the bulk of ann_topk_ivf's
+    cost). argmax takes the FIRST maximum and centroid rows are ordered by
+    cell id, so the tiebreak is identical; cosine doubles are the same
+    IEEE ops as the expression form (oracle-pinned)."""
     q = with_quantized(emb, vec_col)
-    cents = _centroids(q, n_cells)
-    sim = cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("norm2"), F.col("cn"))
-    joined = q.crossJoin(F.broadcast(cents))
-    best = joined.groupBy("vec_id").agg(
-        F.max(F.struct(sim.alias("s"), (-F.col("cell")).alias("nc"))).alias("b"),
-        F.first("qv").alias("qv"),
-        F.first("norm2").alias("norm2"),
-    )
-    return best.select(
-        "vec_id", "qv", "norm2", (-F.col("b.nc")).cast("long").alias("cell")
+    cent_rows = sorted(
+        _centroids(q, n_cells).collect(), key=lambda r: r["cell"]
+    )  # tiny pushed-down scan (n_cells rows)
+    if not cent_rows:
+        return q.withColumn("cell", F.lit(None).cast("long"))
+    c_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    CM = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in cent_rows])
+    c_norms = np.array([r["cn"] for r in cent_rows], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, CM, c_norms))
+
+    @pandas_udf(T.LongType())
+    def assign(qv: pd.Series, norm2: pd.Series) -> pd.Series:
+        cc_ids, CCM, cc_norms = bc.value
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.stack(qv.to_numpy())
+        n2 = norm2.to_numpy().astype(np.int64)
+        D = Q @ CCM.T  # exact int64
+        cos = D / np.sqrt((n2[:, None] * cc_norms[None, :]).astype(np.float64))
+        return pd.Series(cc_ids[np.argmax(cos, axis=1)])
+
+    return q.select(
+        "vec_id", "qv", "norm2", assign(F.col("qv"), F.col("norm2")).alias("cell")
     )
 
 
