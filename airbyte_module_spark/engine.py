@@ -78,8 +78,10 @@ class Engine:
             [f for f in full.fields if not f.name.startswith(model.META_PREFIX)]
         )
 
-    def digest(self, cols: list[str] | None = None) -> str:
-        return self.table.digest(cols)
+    def digest(self, cols: list[str] | None = None, commutative: bool = False) -> str:
+        """Table digest; ``commutative=True`` is the 10^10-row form (see
+        :meth:`LakeTable.digest`)."""
+        return self.table.digest(cols, commutative=commutative)
 
     def lineage(self) -> list[dict]:
         return self.table.lineage()

@@ -648,18 +648,43 @@ class LakeTable:
     def lineage(self) -> list[dict]:
         return self.current_snapshot()["lineage"]
 
-    def digest(self, cols: list[str] | None = None) -> str:
-        """Order- and partitioning-independent table digest: sha256 over the
-        sorted per-row sha256 fingerprints of the user-facing rows. At small
-        scale uses sort+concat on the driver side of a single-row collect; at
-        100 TB swap the final fold for a commutative aggregate (sum/xor of
-        hash prefixes) — same invariance argument."""
+    def digest(self, cols: list[str] | None = None, commutative: bool = False) -> str:
+        """Order- and partitioning-independent table digest of the
+        user-facing rows.
+
+        Default form: sha256 over the SORTED per-row sha256 fingerprints —
+        maximal discrimination, but ``collect_list`` funnels every row hash
+        into one aggregation buffer, which caps it at memory-sized tables.
+
+        ``commutative=True`` is the 10^10-row form: the same per-row sha256
+        folds through three commutative aggregates — row count, sum of the
+        24-bit hash prefix (wraparound-free below 2^39 rows even in ANSI
+        mode), and xor of the 60-bit prefix — and the digest is the sha256
+        of that triple. Fully map-side-combining, constant memory, one
+        metadata-sized exchange; sum carries multiset multiplicity (xor
+        alone would cancel duplicate rows when ``cols`` projects away the
+        identity key). Mirrored exactly by ``oracle.table_digest(...,
+        commutative=True)``."""
         df = self.read()
         cols = cols or df.columns
         row_hash = F.sha2(
             F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]),
             256,
         )
+        if commutative:
+            h = df.select(row_hash.alias("h"))
+            agg = h.agg(
+                F.count("*").alias("n"),
+                F.sum(F.conv(F.substring("h", 1, 6), 16, 10).cast("long")).alias("s"),
+                F.expr(
+                    "bit_xor(cast(conv(substring(h, 1, 15), 16, 10) as bigint))"
+                ).alias("x"),
+            )
+            row = agg.collect()[0]
+            material = f"{row['n']}:{row['s'] or 0}:{row['x'] or 0}"
+            import hashlib
+
+            return hashlib.sha256(material.encode()).hexdigest()
         agg = df.select(row_hash.alias("h")).agg(
             F.sha2(F.concat_ws("\n", F.sort_array(F.collect_list("h"))), 256).alias("d")
         )

@@ -69,14 +69,28 @@ def apply_events(
     return df
 
 
-def table_digest(df: pd.DataFrame, cols: list[str] | None = None) -> str:
+def table_digest(
+    df: pd.DataFrame, cols: list[str] | None = None, commutative: bool = False
+) -> str:
     """Order- and partitioning-independent digest: sha256 over the sorted
-    per-row sha256 fingerprints. Matches the engine's digest definition."""
+    per-row sha256 fingerprints. Matches the engine's digest definition.
+
+    ``commutative=True`` mirrors ``LakeTable.digest(commutative=True)`` —
+    sha256 of ``count:sum(24-bit prefix):xor(60-bit prefix)`` over the same
+    per-row hashes (the 10^10-row engine form that folds through
+    map-side-combining aggregates instead of a sorted collect)."""
     cols = cols or [c for c in df.columns if c != "content_sha"]
-    row_hashes = sorted(
+    row_hashes = [
         hashlib.sha256(
             "|".join("" if pd.isna(v) else str(v) for v in row).encode()
         ).hexdigest()
         for row in df[cols].itertuples(index=False)
-    )
-    return hashlib.sha256("\n".join(row_hashes).encode()).hexdigest()
+    ]
+    if commutative:
+        n = len(row_hashes)
+        s = sum(int(h[:6], 16) for h in row_hashes)
+        x = 0
+        for h in row_hashes:
+            x ^= int(h[:15], 16)
+        return hashlib.sha256(f"{n}:{s}:{x}".encode()).hexdigest()
+    return hashlib.sha256("\n".join(sorted(row_hashes)).encode()).hexdigest()

@@ -34,6 +34,12 @@ Differences that are the point of the exercise:
   and parses JVM-side. Neither write path ever materializes the payload.
 - one asset = one Engine (lake table); the asset registry dict mirrors the
   reference's per-asset YAML config lookup (abm/config.py:13-18).
+- beyond parity: lake assets expose one Flight endpoint PER HASH BUCKET
+  (concurrent lossless read slices — the reference is structurally capped
+  at one ticket per asset, abm/server.py:253) and serve INCREMENTAL change
+  rows (Flight ticket ``from_version`` / HTTP ``?from_version=N``) so a
+  CDC consumer polls deltas instead of re-reading full state per request
+  the way the reference's do_get must.
 
 The servers are thin: every data operation is one Engine call, so the
 protocol layer adds no second data path to keep correct.
@@ -81,12 +87,6 @@ def _spill_dir() -> str:
     if root:
         os.makedirs(root, exist_ok=True)
     return tempfile.mkdtemp(prefix="abm-put-", dir=root)
-
-
-def _asset_from_ticket(raw: bytes) -> str:
-    """Reference ticket wire format: JSON ``{"asset_name": ...}``
-    (abm/ticket.py:14-16)."""
-    return json.loads(raw.decode())["asset_name"]
 
 
 def _arrow_schema(df):
@@ -152,6 +152,15 @@ if HAVE_FLIGHT:
             return self.assets[asset]
 
         # ---------------------------------------------------------- discovery
+        def list_flights(self, context, criteria):
+            """Enumerate every served asset (standard Flight catalog
+            discovery; the reference has no analogue — its clients must
+            know asset names a priori)."""
+            for asset in sorted(self.assets):
+                yield self.get_flight_info(
+                    context, fl.FlightDescriptor.for_command(asset.encode())
+                )
+
         def get_flight_info(self, context, descriptor):
             """Schema discovery: metadata lookup instead of the reference's
             dockerized `discover` round-trip; unknown record/byte counts =
@@ -189,12 +198,32 @@ if HAVE_FLIGHT:
             Arrow-native iterator — reference parity with its streamed
             response (abm/server.py:159) plus bounded driver memory. A
             ticket carrying ``buckets`` serves just that bucket slice
-            (issued per-bucket by get_flight_info for lake assets)."""
+            (issued per-bucket by get_flight_info for lake assets); a
+            ticket carrying ``from_version`` serves the INCREMENTAL change
+            rows ``(from_version, to_version]`` instead of full state (the
+            reference re-reads everything per request — its do_get at
+            abm/server.py:140-159 has no delta concept; lake assets here
+            let a CDC consumer poll just the net changes, tombstones
+            visible). A rewritten range (compaction/COW) fails loudly with
+            the fall-back-to-full-read contract of LakeTable.changes."""
             payload = json.loads(ticket.ticket.decode())
             asset = payload["asset_name"]
             eng = self._engine(asset)
-            buckets = payload.get("buckets")
-            df = eng.read(buckets=buckets) if buckets is not None else eng.read()
+            if "from_version" in payload:
+                if not hasattr(eng, "changes"):
+                    raise fl.FlightServerError(
+                        f"asset {asset!r} does not serve incremental changes"
+                    )
+                try:
+                    df = eng.changes(
+                        int(payload["from_version"]),
+                        payload.get("to_version"),
+                    )
+                except ValueError as e:  # range rewritten by maintenance
+                    raise fl.FlightServerError(str(e))
+            else:
+                buckets = payload.get("buckets")
+                df = eng.read(buckets=buckets) if buckets is not None else eng.read()
             return fl.GeneratorStream(_arrow_schema(df), _arrow_batches(df))
 
         # -------------------------------------------------------------- write
@@ -270,7 +299,9 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
         pass
 
     def _engine(self) -> Engine | None:
-        asset = self.path.strip("/")
+        from urllib.parse import urlsplit
+
+        asset = urlsplit(self.path).path.strip("/")
         eng = self.assets.get(asset)
         if eng is None:
             self.send_response(404)
@@ -278,17 +309,51 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
             self.end_headers()
         return eng
 
+    def _query(self) -> dict:
+        from urllib.parse import parse_qsl, urlsplit
+
+        return dict(parse_qsl(urlsplit(self.path).query))
+
     def do_GET(self):
         """Chunked NDJSON stream: one partition of JSON lines on the driver
         at a time (``toJSON().toLocalIterator()``), flushed every
         READ_BATCH_ROWS lines — the asset never materializes driver-side
-        (the reference's GET also streams, abm/server.py:39-60)."""
+        (the reference's GET also streams, abm/server.py:39-60).
+
+        ``?from_version=N[&to_version=M]`` on a lake asset serves the
+        INCREMENTAL change rows instead of full state (tombstones visible,
+        metadata columns retained) — the polling CDC-consumer read the
+        reference cannot express. A range rewritten by maintenance returns
+        409 (consumer falls back to a full read, same contract as
+        LakeTable.changes). Lake responses carry ``X-Table-Version`` so
+        consumers know where to poll from next."""
         eng = self._engine()
         if eng is None:
+            return
+        params = self._query()
+        try:
+            if "from_version" in params:
+                if not hasattr(eng, "changes"):
+                    self.send_response(400)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                to_v = params.get("to_version")
+                df = eng.changes(
+                    int(params["from_version"]), int(to_v) if to_v else None
+                )
+            else:
+                df = eng.read()
+        except ValueError:  # range rewritten by compaction/COW maintenance
+            self.send_response(409)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
             return
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.send_header("Transfer-Encoding", "chunked")
+        if hasattr(eng, "table"):
+            self.send_header("X-Table-Version", str(eng.table.current_version()))
         self.end_headers()
 
         def chunk(data: bytes) -> None:
@@ -296,7 +361,7 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
                 self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
         buf: list[str] = []
-        for line in eng.read().toJSON().toLocalIterator(prefetchPartitions=True):
+        for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
             buf.append(line)
             if len(buf) >= READ_BATCH_ROWS:
                 chunk(("\n".join(buf) + "\n").encode())

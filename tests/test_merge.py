@@ -402,3 +402,35 @@ def test_snapshot_expiration_gc(spark, tmp_path):
                 on_disk.add(f"data/{commit}/{pb}")
     assert on_disk <= retained_dirs | set(), f"orphans: {on_disk - retained_dirs}"
     assert_matches_oracle(table, events)
+
+
+def test_commutative_digest_matches_oracle_and_is_partition_invariant(spark, tmp_path):
+    """digest(commutative=True) — the 10^10-row map-side-combining form —
+    must match the pandas oracle's mirror exactly, stay invariant under
+    repartitioning, and react to any row change."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import Engine
+    from airbyte_module_spark.oracle import table_digest
+
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    eng = Engine(spark, str(tmp_path / "t"), schema=sch, key_columns=["k"], n_buckets=4)
+    rows = [(f"k{i}", i) for i in range(50)]
+    eng.write(spark.createDataFrame(rows, sch), mode="upsert")
+
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["k", "v"])
+    got = eng.digest(cols=["k", "v"], commutative=True)
+    assert got == table_digest(exp, cols=["k", "v"], commutative=True)
+    # invariant under physical layout (compaction rewrites the files)
+    eng.table.compact()
+    assert eng.digest(cols=["k", "v"], commutative=True) == got
+    # sensitive to a single-row change
+    eng.write(spark.createDataFrame([("k0", 999)], sch), mode="upsert")
+    assert eng.digest(cols=["k", "v"], commutative=True) != got
+    # and a duplicate-prone projection (key projected away) still counts
+    # multiplicity: two rows with equal v must not cancel
+    dup = table_digest(pd.DataFrame({"v": [7, 7]}), cols=["v"], commutative=True)
+    single = table_digest(pd.DataFrame({"v": [7]}), cols=["v"], commutative=True)
+    assert dup != single

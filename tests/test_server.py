@@ -9,6 +9,7 @@ Flight clients (/root/reference/helm/client/client.py:10-13,62-65,
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 import pyarrow as pa
@@ -368,6 +369,102 @@ def test_arrow_batches_native_handles_struct_columns(spark):
         for r in b.to_pylist()
     )
     assert got == [(i, i, 2 * i, (i, i)) for i in range(20)]
+
+
+@pytest.fixture()
+def keyed_asset(spark, tmp_path):
+    """Keyed lake asset with two committed batches — for incremental reads."""
+    eng = Engine(
+        spark, str(tmp_path / "versioned"), schema=USER_SCHEMA,
+        key_columns=["id"], n_buckets=2,
+    )
+    eng.write(
+        spark.createDataFrame([(1, "amy", 100.0), (2, "bob", 200.5)], USER_SCHEMA),
+        mode="upsert",
+    )
+    eng.write(
+        spark.createDataFrame([(2, "bob2", 201.0), (3, "cal", 300.0)], USER_SCHEMA),
+        mode="upsert",
+    )
+    return eng
+
+
+def test_http_incremental_changes_read(keyed_asset):
+    """?from_version=N streams just the net change rows (the polling
+    CDC-consumer read), X-Table-Version tells the consumer where to poll
+    from next, and a compacted-away range returns 409 (fall back to full)."""
+    eng = keyed_asset
+    v_mid = eng.table.current_version() - 1  # version after batch 1
+    server = EngineHttpServer({"versioned": eng}).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}/versioned"
+        with urllib.request.urlopen(f"{base}?from_version={v_mid}") as resp:
+            assert resp.headers["X-Table-Version"] == str(eng.table.current_version())
+            rows = [json.loads(ln) for ln in resp.read().decode().splitlines()]
+        expected = {
+            (r["id"], r["first_name"]) for r in
+            (row.asDict() for row in eng.changes(v_mid).collect())
+        }
+        assert {(r["id"], r["first_name"]) for r in rows} == expected
+        assert {r["id"] for r in rows} == {2, 3}  # only batch-2 keys
+
+        # full-state read still works and reports the version header
+        with urllib.request.urlopen(base) as resp:
+            full = [json.loads(ln) for ln in resp.read().decode().splitlines()]
+        assert {r["id"] for r in full} == {1, 2, 3}
+
+        # compact the whole table → the range is rewritten → 409
+        eng.table.compact()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}?from_version={v_mid}")
+        assert e.value.code == 409
+    finally:
+        server.stop()
+
+
+@pytest.mark.skipif(not HAVE_FLIGHT, reason="pyarrow.flight unavailable")
+def test_flight_incremental_changes_read(keyed_asset):
+    """A ticket carrying from_version streams the same change rows as
+    Engine.changes; a rewritten range raises a FlightError."""
+    import pyarrow.flight as fl
+
+    from airbyte_module_spark.server import EngineFlightServer
+
+    eng = keyed_asset
+    v_mid = eng.table.current_version() - 1
+    with EngineFlightServer({"versioned": eng}) as server:
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        ticket = fl.Ticket(
+            json.dumps({"asset_name": "versioned", "from_version": v_mid}).encode()
+        )
+        table = client.do_get(ticket).read_all()
+        got = {(r["id"], r["first_name"]) for r in table.to_pylist()}
+        expected = {
+            (r["id"], r["first_name"]) for r in
+            (row.asDict() for row in eng.changes(v_mid).collect())
+        }
+        assert got == expected
+        eng.table.compact()
+        with pytest.raises(fl.FlightError):
+            client.do_get(ticket).read_all()
+
+
+@pytest.mark.skipif(not HAVE_FLIGHT, reason="pyarrow.flight unavailable")
+def test_flight_list_flights_enumerates_assets(asset, keyed_asset):
+    """Standard Flight catalog discovery: every served asset appears with
+    its schema and endpoints (no reference analogue — beyond parity)."""
+    import pyarrow.flight as fl
+
+    from airbyte_module_spark.server import EngineFlightServer
+
+    with EngineFlightServer({"userdata": asset, "versioned": keyed_asset}) as server:
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        infos = list(client.list_flights())
+        names = sorted(i.descriptor.command.decode() for i in infos)
+        assert names == ["userdata", "versioned"]
+        for i in infos:
+            assert [f.name for f in i.schema] == ["id", "first_name", "salary"]
+            assert len(i.endpoints) >= 1
 
 
 def test_http_unknown_asset_404(asset):
