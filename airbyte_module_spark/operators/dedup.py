@@ -21,6 +21,8 @@ oracle (see ``oracle_sql.py``). No Python UDFs anywhere.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,72 +31,72 @@ from airbyte_module_spark.operators.text import hash64, word_shingles
 N_MINHASHES = 16
 N_BANDS = 4  # 4 bands x 4 rows: candidate if any 4-run of minhashes agrees
 
+#: Universal-hash modulus for the minhash family: 2^31 - 1 (Mersenne prime).
+#: With a 32-bit base hash and 31-bit coefficients, a*h + b < 2^63 — exact
+#: int64 arithmetic in both Spark and DuckDB, no overflow, no int128.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_coeffs(n_hashes: int = N_MINHASHES) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a_j in [1, p-1], b_j in [0, p-1])
+    for the universal hash family h_j(x) = (a_j*x + b_j) mod p, derived from
+    sha256 so any engine/language reproduces them — embedded as literals in
+    both the Spark plan and the SQL oracle (same pattern as
+    similarity.plane_coeffs)."""
+    out = []
+    for j in range(n_hashes):
+        a = int(hashlib.sha256(f"mh-a:{j}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.sha256(f"mh-b:{j}".encode()).hexdigest()[:15], 16)
+        out.append((a % (MINHASH_PRIME - 1) + 1, b % MINHASH_PRIME))
+    return out
+
+
+def _base_hash(col):
+    """32-bit base hash of a shingle: first 8 hex chars of its sha256. ONE
+    digest per shingle — the 16 minhash functions are affine transforms of
+    this value (standard universal-hashing minhash), which cut the r1-r3
+    form's 4 digests + 16 hex-string conversions per shingle down to 1 + 1
+    (sha256 volume was the measured cost floor of the whole family)."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("long")
+
 
 def minhash_signature(col, n_hashes: int = N_MINHASHES) -> list:
-    """MinHash signature columns m0..m{n-1}.
-
-    One sha256 per (seed group, shingle) yields FOUR independent 60-bit
-    hashes (the 256-bit digest split into 15-hex-char slices), so 16
-    minhashes cost 4 digests per shingle instead of 16 — measured 8x
-    cheaper end-to-end. m_{4g+r} = min over shingles of slice r of
-    sha256(g ':' shingle). Null signature for docs with no shingles
-    (< n tokens). Narrow (per-row) — no shuffle.
-
-    NB: transform lambdas must take exactly one parameter — pyspark passes
-    (element, index) to two-parameter lambdas, so a captured `g=g` default
-    would silently receive the array index column.
+    """MinHash signature columns m0..m{n-1} from an ARRAY of shingles:
+    m_j = min over shingles of (a_j * base(x) + b_j) mod p. Array-lambda
+    form (interpreted in Spark 4) — kept for API parity; the hot path is
+    :func:`with_minhash`'s explode + codegen projection. Null signature for
+    docs with no shingles (< n tokens).
     """
-    assert n_hashes % 4 == 0
     cols = []
-    for g in range(n_hashes // 4):
-        prefix = f"{g}:"
-        digests = F.transform(
-            col, lambda s: F.sha2(F.concat(F.lit(prefix), s), 256)
+    for j, (a, b) in enumerate(minhash_coeffs(n_hashes)):
+        m = F.array_min(
+            F.transform(col, lambda s: (F.lit(a) * _base_hash(s) + F.lit(b)) % MINHASH_PRIME)
         )
-        for r in range(4):
-            start = 1 + 15 * r
-            slice_min = F.array_min(
-                F.transform(
-                    digests,
-                    lambda d: F.conv(F.substring(d, start, 15), 16, 10).cast(
-                        "long"
-                    ),
-                )
-            )
-            cols.append(slice_min.alias(f"m{4 * g + r}"))
+        cols.append(m.alias(f"m{j}"))
     return cols
 
 
 def with_minhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """doc_id + MinHash signature columns over word n-gram shingles.
 
-    Explode + hash-aggregate formulation: shingles explode to rows, the 4
-    digests and 16 slices are plain codegen'd projections, and the signature
-    is a 16-way min groupBy(doc_id). Everything stays inside whole-stage
-    codegen (higher-order array lambdas are interpreted in Spark 4 — the
-    equivalent array formulation, :func:`minhash_signature`, measures 1.6x
-    slower); the one shuffle is keyed by doc_id (uniform). Docs with no
-    shingles (< n tokens) vanish at the explode, mirroring the null-signature
-    filter of the array form."""
+    Explode + hash-aggregate formulation: shingles explode to rows, ONE
+    sha256 + hex-conversion per shingle produces the 32-bit base hash in
+    its own projection (stacked select — CollapseProject declines to inline
+    a non-cheap expression referenced 16 times above, so the digest is
+    computed once), the 16 affine transforms are trivial codegen'd integer
+    arithmetic, and the signature is a 16-way min groupBy(doc_id). The one
+    shuffle is keyed by doc_id (uniform). Docs with no shingles (< n
+    tokens) vanish at the explode, mirroring the null-signature filter of
+    the array form."""
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col(text_col), n=n)).alias("_s")
     )
-    n_groups = N_MINHASHES // 4
-    digs = sh.select(
+    base = sh.select("doc_id", _base_hash(F.col("_s")).alias("_h"))
+    slices = base.select(
         "doc_id",
         *[
-            F.sha2(F.concat(F.lit(f"{g}:"), F.col("_s")), 256).alias(f"_d{g}")
-            for g in range(n_groups)
-        ],
-    )
-    slices = digs.select(
-        "doc_id",
-        *[
-            F.conv(F.substring(f"_d{g}", 1 + 15 * r, 15), 16, 10)
-            .cast("long")
-            .alias(f"_h{4 * g + r}")
-            for g in range(n_groups)
-            for r in range(4)
+            ((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"_h{j}")
+            for j, (a, b) in enumerate(minhash_coeffs())
         ],
     )
     return slices.groupBy("doc_id").agg(

@@ -185,18 +185,17 @@ ORACLES["doc_fingerprint"] = f"""
 """
 
 def _min_exprs() -> str:
-    # mirrors operators.dedup.minhash_signature: m_{4g+r} = min over shingles
-    # of the r-th 15-hex slice of sha256(g ':' shingle)
+    # mirrors operators.dedup.with_minhash: one 32-bit base hash per shingle
+    # (first 8 hex chars of sha256), then the universal hash family
+    # m_j = min over shingles of (a_j * base + b_j) mod p — identical
+    # coefficients imported from the operator module, exact int64 math
+    from airbyte_module_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    base = "('0x' || substr(sha256(x), 1, 8))::BIGINT"
     parts = []
-    for g in range(4):
-        for r in range(4):
-            start = 1 + 15 * r
-            expr = (
-                f"('0x' || substr(sha256('{g}:' || x), {start}, 15))::BIGINT"
-            )
-            parts.append(
-                f"list_min(list_transform(s, x -> {expr})) AS m{4 * g + r}"
-            )
+    for j, (a, b) in enumerate(minhash_coeffs()):
+        expr = f"({a} * {base} + {b}) % {MINHASH_PRIME}"
+        parts.append(f"list_min(list_transform(s, x -> {expr})) AS m{j}")
     return ", ".join(parts)
 
 
