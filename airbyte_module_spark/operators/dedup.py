@@ -238,9 +238,16 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingle_postings(
     docs: DataFrame, text_col: str = "text", n: int = 2
 ) -> DataFrame:
-    """Inverted index: (shingle, docs) posting lists over word n-grams,
+    """Inverted index: (shingle-hash, docs) posting lists over word n-grams,
     restricted to shingles appearing in >= 2 docs. The posting-list size IS
-    the document frequency, so the ngram_jaccard df-cap is one filter here."""
+    the document frequency, so the ngram_jaccard df-cap is one filter here.
+
+    The grouping key stays the shingle STRING: replacing it with a
+    cross-engine hash was evaluated and rejected — the only oracle-stable
+    hash is sha256-based, whose per-shingle cost exceeds the exchange
+    bytes it saves (the same sha256 volume the minhash family just shed),
+    and at scale the collect_list buffer, not the key width, dominates
+    this shuffle."""
     sh = docs.filter(F.length(text_col) > 0).select(
         "doc_id", word_shingles(F.col(text_col), n=n).alias("sh")
     )

@@ -73,6 +73,16 @@ def get_spark(
         # that scales with file count, not with executors
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    # deployment hook: SPARK_GRAFT_EXTRA_CONF='{"spark.memory.offHeap.enabled":
+    # "true", ...}' overlays arbitrary conf without code changes — used by the
+    # scaling harness for config experiments (e.g. off-heap at high thread
+    # counts) and by cluster launch wrappers
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

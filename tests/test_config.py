@@ -379,3 +379,52 @@ def test_api_asset_distributed_missing_requirements_is_loud(spark):
     )
     with pytest.raises(ValueError, match="schema"):
         assets["acs"].read()
+
+
+def test_serve_entrypoint_builds_and_serves(spark, tmp_path, userdata_csv):
+    """scripts/serve.py — the reference main.py counterpart — wires a YAML
+    config + file-backed secrets provider into both servers in one build()
+    call; rows flow over HTTP end-to-end."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import serve as serve_mod
+
+    secrets = tmp_path / "secrets.json"
+    secrets.write_text(json.dumps({"/v1/secret/userdata": {"url": userdata_csv}}))
+    cfg = tmp_path / "assets.yaml"
+    cfg.write_text(
+        f"""
+data:
+  - name: userdata
+    vault_credentials:
+      secretPath: /v1/secret/userdata
+    connection:
+      name: file
+      file:
+        format: csv
+  - name: repo_files
+    connection:
+      name: lake
+      lake:
+        path: repo_files
+"""
+    )
+    args = argparse.Namespace(
+        config=str(cfg), host="127.0.0.1", port=0, arrowport=0,
+        lake_root=str(tmp_path), secrets_file=str(secrets),
+    )
+    assets, http, flight = serve_mod.build(args)
+    assert sorted(assets) == ["repo_files", "userdata"]
+    http.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http.port}/userdata"
+        ) as resp:
+            rows = [json.loads(ln) for ln in resp.read().decode().splitlines()]
+        assert sorted(r["first_name"] for r in rows) == ["amy", "bob"]
+    finally:
+        http.stop()
+    if flight is not None:
+        flight.shutdown()
