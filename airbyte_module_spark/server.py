@@ -325,8 +325,11 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
         metadata columns retained) — the polling CDC-consumer read the
         reference cannot express. A range rewritten by maintenance returns
         409 (consumer falls back to a full read, same contract as
-        LakeTable.changes). Lake responses carry ``X-Table-Version`` so
-        consumers know where to poll from next."""
+        LakeTable.changes). ``?buckets=0,3,7`` serves just those hash-bucket
+        slices (complete per identity key — parallel HTTP clients split a
+        read bucket-wise exactly like the per-bucket Flight endpoints).
+        Lake responses carry ``X-Table-Version`` so consumers know where
+        to poll from next."""
         eng = self._engine()
         if eng is None:
             return
@@ -341,6 +344,10 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
                 to_v = params.get("to_version")
                 df = eng.changes(
                     int(params["from_version"]), int(to_v) if to_v else None
+                )
+            elif "buckets" in params:
+                df = eng.read(
+                    buckets=[int(b) for b in params["buckets"].split(",") if b]
                 )
             else:
                 df = eng.read()

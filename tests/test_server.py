@@ -467,6 +467,32 @@ def test_flight_list_flights_enumerates_assets(asset, keyed_asset):
             assert len(i.endpoints) >= 1
 
 
+def test_http_bucket_sliced_reads_union_to_full(spark, tmp_path):
+    """?buckets=... serves disjoint lossless slices over HTTP — the same
+    parallel-read split the per-bucket Flight endpoints expose."""
+    eng = Engine(
+        spark, str(tmp_path / "b"), schema=USER_SCHEMA, key_columns=["id"], n_buckets=4
+    )
+    eng.write(
+        spark.range(40).selectExpr(
+            "id", "concat('u', id) AS first_name", "id * 1.0 AS salary"
+        ),
+        mode="upsert",
+    )
+    live = eng.table.live_buckets()
+    assert len(live) > 1
+    server = EngineHttpServer({"b": eng}).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}/b"
+        ids = []
+        for bucket in live:
+            with urllib.request.urlopen(f"{base}?buckets={bucket}") as resp:
+                ids += [json.loads(ln)["id"] for ln in resp.read().decode().splitlines()]
+        assert sorted(ids) == list(range(40))  # disjoint and complete
+    finally:
+        server.stop()
+
+
 def test_http_unknown_asset_404(asset):
     server = EngineHttpServer({"userdata": asset}).start()
     try:
