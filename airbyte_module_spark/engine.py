@@ -63,12 +63,18 @@ class Engine:
         self.pipeline = CdcPipeline(self.table, **pipeline_opts)
 
     # -------------------------------------------------------------- querying
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Current winners, metadata columns stripped (reference GET /asset,
         ``/root/reference/abm/server.py:39-60``). ``buckets`` restricts to a
         subset of hash buckets — complete per identity key, so parallel
-        clients can split a read bucket-wise (per-bucket Flight endpoints)."""
-        return self.table.read(buckets=buckets)
+        clients can split a read bucket-wise (per-bucket Flight endpoints).
+        ``version`` pins the read to a specific snapshot (time travel; the
+        HTTP server pins every response to the version it advertises in
+        ``X-Table-Version`` so a commit racing the request cannot make the
+        header promise changes the body lacks)."""
+        return self.table.read(buckets=buckets, version=version)
 
     def schema(self) -> T.StructType:
         """User-facing schema (reference get_flight_info discovery,

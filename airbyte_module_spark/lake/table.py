@@ -329,6 +329,7 @@ class LakeTable:
         pre_deduped: bool = False,
         pre_partitioned: bool = False,
         truncate: bool = False,
+        _attempts: int | None = None,
     ) -> int | None:
         """MERGE a change batch (parsed rows with ``_ab_*`` metadata cols)
         into the table. Returns the new snapshot version, or None if the
@@ -358,7 +359,12 @@ class LakeTable:
         replacements are position-independent, so this is metadata-only);
         a COW rewrite is recomputed against the new target instead (its
         staged files bake in the stale target) after removing the stale
-        staging dir."""
+        staging dir. ``_attempts`` (internal) carries the REMAINING retry
+        budget through the COW recomputation recursion so the bound is
+        GLOBAL: without it each recursion level reset the budget, and under
+        sustained contention the documented bound never applied (unbounded
+        stack of full COW rewrites)."""
+        attempts = self.MERGE_CAS_RETRIES if _attempts is None else _attempts
         snap = self.current_snapshot()
         key = f"{checkpoint_id}:{batch_id}"
         if key in snap["applied_batches"]:
@@ -417,7 +423,7 @@ class LakeTable:
 
         staged_entries = entries
         max_applied = int(snap["properties"].get("max_applied_batches", 1024))
-        for attempt in range(1 + self.MERGE_CAS_RETRIES):
+        for attempt in range(1 + attempts):
             if truncate:
                 applied = {key: new_version}  # fresh state, fresh record
             else:
@@ -443,7 +449,7 @@ class LakeTable:
             try:
                 self._write_snapshot(new_snap, expected_parent=snap["version"])
             except ConcurrentCommitError:
-                if attempt == self.MERGE_CAS_RETRIES:
+                if attempt == attempts:
                     raise
                 snap = self.current_snapshot()
                 if key in snap["applied_batches"]:
@@ -463,6 +469,7 @@ class LakeTable:
                     return self.merge(
                         changes, batch_id, checkpoint_id, lineage,
                         pre_deduped, pre_partitioned,
+                        _attempts=attempts - attempt - 1,
                     )
                 # MoR delta / truncating replacement: staged files are
                 # position-independent — rebase metadata onto the new head
@@ -620,11 +627,29 @@ class LakeTable:
 
         Returns one row per key changed in ``(from_version, to_version]``,
         LWW-resolved across the range, metadata columns (op/cursor/seq)
-        retained so deletes are visible as tombstone rows. Only valid while
-        the delta history for the range is intact: if a compaction or
-        copy-on-write rewrite folded files inside the range, raises
-        ValueError (consumers must then fall back to a full-state read —
-        same contract as Iceberg's changelog scan across rewrites)."""
+        retained so deletes are visible as tombstone rows.
+
+        Two plans, one contract:
+
+        - **Delta scan** (fast path) while the range's delta history is
+          intact: read ONLY the files added in the range — cost scales
+          with the delta, not the table.
+        - **Snapshot diff** when a compaction / COW rewrite folded files
+          inside the range: both snapshots remain readable (that is the
+          point of a snapshot format — Iceberg's changelog scan must give
+          up here because its rewrites fold equality-deletes away), so the
+          net changes are recovered as ``LWW state at v2 minus state at
+          v1`` joined on the identity key. One shuffle per side on the
+          (uniform) key hash; cost scales with the table, so consumers
+          polling faster than maintenance runs always stay on the fast
+          path. Keys removed without a tombstone (a truncating
+          replacement) surface as SYNTHESIZED tombstones (op='d', null
+          payload/cursor).
+
+        KEYLESS tables have no identity to diff on: a rewritten range
+        still raises ValueError there (consumers fall back to a full
+        read). An EXPIRED from-snapshot raises FileNotFoundError from the
+        catalog — same fallback."""
         to_snap = (
             self.current_snapshot() if to_version is None else self.snapshot(to_version)
         )
@@ -632,18 +657,54 @@ class LakeTable:
         old_dirs = {e["dir"] for e in from_snap["entries"]}
         new_dirs = {e["dir"] for e in to_snap["entries"]}
         new_entries = [e for e in to_snap["entries"] if e["dir"] not in old_dirs]
+        keys = to_snap["properties"].get("key_columns", model.KEY_COLUMNS)
         if (old_dirs - new_dirs) or any(e["kind"] != "delta" for e in new_entries):
-            raise ValueError(
-                f"delta history between v{from_version} and "
-                f"v{to_snap['version']} was rewritten (compaction or COW "
-                "merge); read the full state instead"
-            )
+            if not keys:
+                raise ValueError(
+                    f"delta history between v{from_version} and "
+                    f"v{to_snap['version']} was rewritten (compaction or COW "
+                    "merge) and the table is keyless; read the full state "
+                    "instead"
+                )
+            return self._changes_by_state_diff(from_snap, to_snap, keys)
         schema = self.schema(to_snap)
         df = self._read_entries(new_entries, schema, buckets=None)
-        keys = to_snap["properties"].get("key_columns", model.KEY_COLUMNS)
         if keys:
             df = dedup_lww(df, keys)
         return df.drop(model.BUCKET_COLUMN)
+
+    def _changes_by_state_diff(
+        self, from_snap: dict, to_snap: dict, keys: list[str]
+    ) -> DataFrame:
+        """Net changes across a rewritten range: LWW state at ``to_snap``
+        minus state at ``from_snap``, joined on the identity key. A key is
+        emitted iff its winning (cursor, seq) changed, it is new, or it
+        vanished (truncating replacement → synthesized tombstone). Rows
+        merely REWRITTEN by compaction keep their (cursor, seq) and drop
+        out — the diff is exactly the net change set."""
+        old = self.read_internal(version=from_snap["version"]).select(
+            *keys,
+            F.col(model.META_EMITTED).alias("_o_emitted"),
+            F.col(model.META_SEQ).alias("_o_seq"),
+        )
+        new = self.read_internal(version=to_snap["version"]).drop(model.BUCKET_COLUMN)
+        out_cols = new.columns
+        j = new.join(old, keys, "full_outer")
+        vanished = F.col(model.META_SEQ).isNull()  # never null for real rows
+        changed = j.filter(
+            vanished
+            | F.col("_o_seq").isNull()
+            | (F.col(model.META_EMITTED) != F.col("_o_emitted"))
+            | (F.col(model.META_SEQ) != F.col("_o_seq"))
+        )
+        return changed.select(
+            *[
+                F.when(vanished, F.lit("d")).otherwise(F.col(c)).alias(c)
+                if c == model.META_OP
+                else F.col(c)
+                for c in out_cols
+            ]
+        )
 
     def lineage(self) -> list[dict]:
         return self.current_snapshot()["lineage"]

@@ -120,12 +120,22 @@ def _quantize_np(vectors) -> np.ndarray:
     identical to half-away except on exact .5 fractions, corrected via
     trunc±1). Bit-identical to Spark ``F.round`` HALF_UP and DuckDB
     ``round()`` on this data. LOUD on any length != PLANE_DIM (same
-    contract as :func:`with_quantized`)."""
+    contract as :func:`with_quantized`), and on any NaN / null ELEMENT
+    inside a vector: ``.astype(int64)`` of NaN is undefined (typically
+    INT64_MIN), which would flow silent garbage into every downstream
+    dot/cosine — the pre-kernel Catalyst form propagated null and dropped
+    the pair, so the kernel must not invent values where the expression
+    form had none."""
     if any(len(x) != PLANE_DIM for x in vectors):
         raise ValueError(
             f"embedding length != {PLANE_DIM} (vec_id column has a short/long vector)"
         )
     V = np.stack(np.asarray(vectors, dtype=object)).astype(np.float64) * 1000.0
+    if np.isnan(V).any():
+        raise ValueError(
+            "embedding contains NaN/null elements (whole-null vectors are "
+            "dropped upstream; a partially-null vector is corrupt input)"
+        )
     R = np.rint(V)
     tr = np.trunc(V)
     half = np.abs(V - tr) == 0.5
@@ -171,11 +181,18 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     loud contract: it can never be a candidate or a pair member, so it is
     dropped by the filter here (equivalent to the null propagating through
     every downstream cosine filter, and it keeps None out of the numpy
-    kernels)."""
+    kernels). ZERO-NORM vectors (all elements quantize to 0) are likewise
+    excluded: cosine against them is 0/0 = NaN, which Spark windows rank
+    ABOVE every real cosine while numpy's lexsort ranks it last — no single
+    defined order exists, so the one defined semantics everywhere (both
+    kernels, the Catalyst forms, and the SQL oracles' fixtures, which
+    contain no zero vectors) is "a direction-less vector is never a
+    candidate, pair member, or query"."""
     return (
         emb.filter(F.col(vec_col).isNotNull())
         .select("vec_id", _quantize_norm_arrow(F.col(vec_col)).alias("_qn"))
         .select("vec_id", F.col("_qn.qv").alias("qv"), F.col("_qn.norm2").alias("norm2"))
+        .filter(F.col("norm2") > 0)
     )
 
 
@@ -277,7 +294,15 @@ def ann_brute_force(
     the shuffle shrinks from the corpus size to metadata size (the r1-r3
     crossJoin + full-width window form shuffled every scored pair; at
     10^8 vectors that window IS the job). Math is bit-identical to the
-    DuckDB oracle: exact int64 dot/norms, one IEEE-double sqrt+divide."""
+    DuckDB oracle: exact int64 dot/norms, one IEEE-double sqrt+divide.
+
+    Zero-norm vectors are excluded on BOTH sides (the
+    :func:`with_quantized` contract): their cosine is 0/0 = NaN, which
+    Spark's window ranks above every real cosine while ``np.lexsort``
+    ranks it last — the map-side prune and the global window would
+    disagree on which candidates survive, silently breaking exactness.
+    Masking them out gives both forms (and the oracle, whose fixtures
+    have no zero vectors) one defined semantics."""
     corpus = emb.filter(F.col(vec_col).isNotNull()).select("vec_id", vec_col)
     qrows = (
         corpus.filter(F.col("vec_id") < n_queries).collect()
@@ -293,6 +318,7 @@ def ann_brute_force(
 
     def score(batches):
         q_ids, QM, q_norms = bc.value
+        live_q = np.nonzero(q_norms > 0)[0]  # zero-norm query: no results
         for b in batches:
             if len(b) == 0:
                 continue
@@ -300,9 +326,12 @@ def ann_brute_force(
             C = _quantize_np(b[vec_col].to_numpy())
             norms = (C * C).sum(axis=1)
             D = QM @ C.T  # exact int64, (n_queries, batch)
-            cos = D / np.sqrt((q_norms[:, None] * norms[None, :]).astype(np.float64))
-            for qi in range(len(q_ids)):
-                cand = np.nonzero(ids != q_ids[qi])[0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = D / np.sqrt(
+                    (q_norms[:, None] * norms[None, :]).astype(np.float64)
+                )
+            for qi in live_q:
+                cand = np.nonzero((ids != q_ids[qi]) & (norms > 0))[0]
                 order = np.lexsort((ids[cand], -cos[qi, cand]))[:k]
                 sel = cand[order]
                 if len(sel):

@@ -219,7 +219,8 @@ if HAVE_FLIGHT:
                         int(payload["from_version"]),
                         payload.get("to_version"),
                     )
-                except ValueError as e:  # range rewritten by maintenance
+                except (ValueError, FileNotFoundError) as e:
+                    # range rewritten by maintenance / from-snapshot expired
                     raise fl.FlightServerError(str(e))
             else:
                 buckets = payload.get("buckets")
@@ -328,30 +329,58 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
         LakeTable.changes). ``?buckets=0,3,7`` serves just those hash-bucket
         slices (complete per identity key — parallel HTTP clients split a
         read bucket-wise exactly like the per-bucket Flight endpoints).
-        Lake responses carry ``X-Table-Version`` so consumers know where
-        to poll from next."""
+        Lake responses carry ``X-Table-Version`` — the snapshot version the
+        BODY is pinned to, captured BEFORE planning and threaded through
+        the read/changes call: reading the head version after planning let
+        a commit land in between, making the header advertise a version
+        whose changes were not in the body, so a consumer polling
+        ``?from_version=<header>`` next would silently skip them forever.
+
+        Error mapping: 400 = the request itself is malformed (unparseable
+        ``from_version``/``to_version``/``buckets``, or a version/bucket
+        param on an asset that serves neither); 409 = the request was fine
+        but the range is UNSERVABLE now (rewritten by maintenance on a
+        keyless table, or the from-snapshot expired) — retryable as a full
+        read, so it must not share a status with client bugs."""
         eng = self._engine()
         if eng is None:
             return
         params = self._query()
+        is_lake = hasattr(eng, "table")
+        try:  # parse/validate BEFORE any engine call: bad input is 400
+            from_v = (
+                int(params["from_version"]) if "from_version" in params else None
+            )
+            to_v = int(params["to_version"]) if params.get("to_version") else None
+            buckets = (
+                [int(b) for b in params["buckets"].split(",") if b]
+                if "buckets" in params
+                else None
+            )
+            if from_v is not None and not hasattr(eng, "changes"):
+                raise ValueError("asset serves no incremental changes")
+            if buckets is not None and not is_lake:
+                raise ValueError("asset is not bucket-sliced")
+        except ValueError:
+            self.send_response(400)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        # pin the whole response to ONE version: header == body contents
+        v = eng.table.current_version() if is_lake else None
         try:
-            if "from_version" in params:
-                if not hasattr(eng, "changes"):
-                    self.send_response(400)
-                    self.send_header("Content-Length", "0")
-                    self.end_headers()
-                    return
-                to_v = params.get("to_version")
-                df = eng.changes(
-                    int(params["from_version"]), int(to_v) if to_v else None
-                )
-            elif "buckets" in params:
-                df = eng.read(
-                    buckets=[int(b) for b in params["buckets"].split(",") if b]
-                )
+            if from_v is not None:
+                df = eng.changes(from_v, to_v if to_v is not None else v)
+                body_v = to_v if to_v is not None else v
+            elif is_lake:
+                df = eng.read(buckets=buckets, version=v)
+                body_v = v
             else:
                 df = eng.read()
-        except ValueError:  # range rewritten by compaction/COW maintenance
+                body_v = None
+        except (ValueError, FileNotFoundError):
+            # range rewritten by maintenance / from-snapshot expired:
+            # retryable — consumer falls back to a full read
             self.send_response(409)
             self.send_header("Content-Length", "0")
             self.end_headers()
@@ -359,8 +388,8 @@ class _EngineHttpHandler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.send_header("Transfer-Encoding", "chunked")
-        if hasattr(eng, "table"):
-            self.send_header("X-Table-Version", str(eng.table.current_version()))
+        if body_v is not None:
+            self.send_header("X-Table-Version", str(body_v))
         self.end_headers()
 
         def chunk(data: bytes) -> None:

@@ -132,8 +132,11 @@ def test_merge_never_compacts_inline(spark, tmp_path):
 
 def test_changes_between_versions(spark, tmp_path):
     """Incremental CDC-consumer read: changes(v1, v2) returns exactly the
-    LWW-resolved rows the second batch applied (tombstones visible), and
-    refuses ranges whose delta history was folded by compaction."""
+    LWW-resolved rows the second batch applied (tombstones visible); after
+    compaction folds the delta history the same call serves the NET state
+    diff on the identity key instead of refusing (VERDICT r4 #6 — both
+    snapshots stay readable, so the format can offer what Iceberg's
+    changelog cannot)."""
     from airbyte_module_spark.lake.table import dedup_lww
 
     feed = str(tmp_path / "feed")
@@ -160,9 +163,39 @@ def test_changes_between_versions(spark, tmp_path):
     # full-range changes == current LWW state incl. tombstones
     assert table.changes(0).count() == table.read_internal().count()
 
+    # compaction folds the delta history → changes() switches to the
+    # snapshot-diff plan: exactly the keys whose winning (cursor, seq)
+    # changed between the two states, values identical to head state
+    state_v1 = {
+        (r["repo"], r["path"]): (r[model.META_SEQ])
+        for r in table.read_internal(version=v1).collect()
+    }
+    head_rows = table.read_internal().collect()
+    expected_diff = {
+        (r["repo"], r["path"]): (r[model.META_SEQ], r[model.META_OP])
+        for r in head_rows
+        if state_v1.get((r["repo"], r["path"])) != r[model.META_SEQ]
+    }
     table.compact()
+    got_diff = {
+        (r["repo"], r["path"]): (r[model.META_SEQ], r[model.META_OP])
+        for r in table.changes(v1).collect()
+    }
+    assert got_diff == expected_diff
+    assert got_diff, "second batch must have changed some keys"
+
+    # a KEYLESS table still refuses a rewritten range (no identity to diff)
+    kl = LakeTable.create(
+        spark, str(tmp_path / "kl"),
+        schema=model.table_schema(model.base_data_schema()),
+        key_columns=[], n_buckets=2,
+    )
+    pipe_kl = CdcPipeline(kl)
+    kv1 = pipe_kl.apply_batch(raw0, batch_id=0, checkpoint_id="c")
+    pipe_kl.apply_batch(raw1, batch_id=1, checkpoint_id="c")
+    kl.compact()
     with pytest.raises(ValueError):
-        table.changes(v1)
+        kl.changes(kv1)
 
 
 def test_time_travel(spark, tmp_path):
@@ -434,3 +467,32 @@ def test_commutative_digest_matches_oracle_and_is_partition_invariant(spark, tmp
     dup = table_digest(pd.DataFrame({"v": [7, 7]}), cols=["v"], commutative=True)
     single = table_digest(pd.DataFrame({"v": [7]}), cols=["v"], commutative=True)
     assert dup != single
+
+
+def test_cow_cas_retry_budget_is_global(spark, tmp_path, monkeypatch):
+    """ADVICE r4: the COW conflict path retried via recursion that RESET
+    the MERGE_CAS_RETRIES budget each level — under sustained contention
+    the documented bound never applied (unbounded stack of full COW
+    rewrites). The remaining budget now threads through the recursion, so
+    total publish attempts are globally bounded at 1 + MERGE_CAS_RETRIES."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import model
+    from airbyte_module_spark.lake.catalog import ConcurrentCommitError, FileCatalog
+
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=model.table_schema(sch),
+        key_columns=["k"], n_buckets=2, mode="cow",
+    )
+    ev = spark.createDataFrame([("ka", 1)], sch).selectExpr(
+        "k", "v", "100L as _ab_emitted_at", "100L as _ab_seq", "'u' as _ab_op"
+    )
+    calls = {"publish": 0}
+    def always_conflict(self, snap, expected_parent):
+        calls["publish"] += 1
+        raise ConcurrentCommitError("sustained contention")
+    monkeypatch.setattr(FileCatalog, "publish", always_conflict)
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(ev, batch_id=1, checkpoint_id="a")
+    assert calls["publish"] == 1 + LakeTable.MERGE_CAS_RETRIES

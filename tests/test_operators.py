@@ -435,3 +435,54 @@ def test_quantize_kernel_matches_spark_round_half_up(spark):
     expected = {r.vec_id: r.qv for r in expr.collect()}
     got = {i: list(q) for i, q in enumerate(_quantize_np(list(vecs)))}
     assert got == expected
+
+
+def test_zero_norm_embedding_excluded_everywhere(spark):
+    """ADVICE r4: a zero-norm vector's cosine is 0/0 = NaN, which Spark
+    windows rank above every real cosine while np.lexsort ranks it last —
+    the map-side prune and the global window would disagree. The defined
+    semantics: a direction-less vector is never a candidate, pair member,
+    or query (with_quantized drops it; the brute-force kernel masks it on
+    both sides)."""
+    import warnings
+
+    from airbyte_module_spark.operators.similarity import (
+        ann_brute_force,
+        ann_lsh,
+        with_quantized,
+    )
+
+    rows = [(0, [0.5] * 64), (1, [0.0] * 64), (2, [0.5] * 64), (3, [0.4] * 64)]
+    mixed = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert sorted(r.vec_id for r in with_quantized(mixed).collect()) == [0, 2, 3]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # no divide-by-zero
+        got = ann_brute_force(mixed, n_queries=2, k=3).collect()
+    # query 1 (zero-norm) yields no rows; vec 1 is never a neighbor
+    assert {r.query_id for r in got} == {0}
+    assert all(r.neighbor_id != 1 for r in got)
+    lsh = ann_lsh(mixed, n_queries=2, k=3).collect()
+    assert {r.query_id for r in lsh} <= {0}
+    assert all(r.neighbor_id != 1 for r in lsh)
+
+
+def test_nan_element_raises_not_silent_garbage(spark):
+    """ADVICE r4: a NaN element inside an embedding would flow through the
+    int64 cast as undefined garbage (typically INT64_MIN) — the kernel must
+    raise instead (the pre-kernel Catalyst form propagated null and dropped
+    the pair; inventing values is worse than failing)."""
+    import numpy as np
+
+    from airbyte_module_spark.operators.similarity import (
+        _quantize_np,
+        with_quantized,
+    )
+
+    with pytest.raises(ValueError, match="NaN"):
+        _quantize_np([[float("nan")] + [0.1] * 63])
+    bad = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [float("nan")] + [0.2] * 63)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NaN"):
+        with_quantized(bad).collect()

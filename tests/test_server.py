@@ -392,7 +392,8 @@ def keyed_asset(spark, tmp_path):
 def test_http_incremental_changes_read(keyed_asset):
     """?from_version=N streams just the net change rows (the polling
     CDC-consumer read), X-Table-Version tells the consumer where to poll
-    from next, and a compacted-away range returns 409 (fall back to full)."""
+    from next; a compacted range is served via the snapshot diff (keyed
+    table), and an EXPIRED from-snapshot returns 409 (fall back to full)."""
     eng = keyed_asset
     v_mid = eng.table.current_version() - 1  # version after batch 1
     server = EngineHttpServer({"versioned": eng}).start()
@@ -413,11 +414,54 @@ def test_http_incremental_changes_read(keyed_asset):
             full = [json.loads(ln) for ln in resp.read().decode().splitlines()]
         assert {r["id"] for r in full} == {1, 2, 3}
 
-        # compact the whole table → the range is rewritten → 409
+        # compact the whole table → keyed table serves the SNAPSHOT DIFF
+        # (VERDICT r4 #6): same net change keys, still a 200
         eng.table.compact()
+        with urllib.request.urlopen(f"{base}?from_version={v_mid}") as resp:
+            diff = [json.loads(ln) for ln in resp.read().decode().splitlines()]
+        assert {r["id"] for r in diff} == {2, 3}
+
+        # expire the from-snapshot → the range is UNSERVABLE → 409
+        eng.table.expire_snapshots(keep_last=1)
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(f"{base}?from_version={v_mid}")
         assert e.value.code == 409
+    finally:
+        server.stop()
+
+
+def test_http_get_param_errors_are_400_not_409(keyed_asset):
+    """ADVICE r4: a MALFORMED request (unparseable from_version/buckets)
+    is a client bug → 400; 409 is reserved for well-formed requests whose
+    range became unservable (the retry-as-full-read signal). Conflating
+    them made consumers retry requests that can never succeed."""
+    server = EngineHttpServer({"versioned": keyed_asset}).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}/versioned"
+        for bad in ("?from_version=abc", "?buckets=x", "?from_version=1&to_version=z"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(base + bad)
+            assert e.value.code == 400, bad
+    finally:
+        server.stop()
+
+
+def test_http_version_header_pinned_to_body(keyed_asset):
+    """ADVICE r4 (medium): X-Table-Version must advertise the version the
+    BODY is pinned to — captured before planning — not whatever the head
+    is when the response headers are written. With an explicit
+    ?to_version=N the header is N (the old code reported current_version,
+    so a consumer polling from the header would skip (N, head])."""
+    eng = keyed_asset
+    v_mid = eng.table.current_version() - 1
+    server = EngineHttpServer({"versioned": eng}).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}/versioned"
+        url = f"{base}?from_version={v_mid - 1}&to_version={v_mid}"
+        with urllib.request.urlopen(url) as resp:
+            assert resp.headers["X-Table-Version"] == str(v_mid)
+            rows = [json.loads(ln) for ln in resp.read().decode().splitlines()]
+        assert {r["id"] for r in rows} == {1, 2}  # batch-1 keys only
     finally:
         server.stop()
 
@@ -444,7 +488,12 @@ def test_flight_incremental_changes_read(keyed_asset):
             (row.asDict() for row in eng.changes(v_mid).collect())
         }
         assert got == expected
+        # compacted range: keyed table serves the snapshot diff (same keys)
         eng.table.compact()
+        diff = client.do_get(ticket).read_all()
+        assert {r["id"] for r in diff.to_pylist()} == {2, 3}
+        # expired from-snapshot: loud FlightError (consumer falls back)
+        eng.table.expire_snapshots(keep_last=1)
         with pytest.raises(fl.FlightError):
             client.do_get(ticket).read_all()
 
