@@ -38,7 +38,11 @@ v2 table and everything above it is unchanged):
   checkpoint offset, a window of ~1, so 1024 is a deep margin. Even for a
   batch whose record has aged out, LWW makes re-application a no-op
   (idempotent MERGE — the second line of defense). KEYLESS tables have no
-  LWW defense, so their applied-batches record is never pruned.
+  LWW defense, so their applied-batches record is pruned ONLY below the
+  streaming checkpoint's committed-offset watermark (``merge(...,
+  offset_watermark=N)`` — batches < N can never redeliver), which keeps
+  snapshot metadata bounded on append-only tables without giving up
+  exactly-once; ad-hoc keyless merges (no watermark) never prune.
 - **Snapshot expiration**: ``expire_snapshots(keep_last)`` (run from
   ``maintenance()``) deletes snapshot files older than the retained window
   and garbage-collects data dirs no retained snapshot references — the
@@ -329,6 +333,7 @@ class LakeTable:
         pre_deduped: bool = False,
         pre_partitioned: bool = False,
         truncate: bool = False,
+        offset_watermark: int | None = None,
         _attempts: int | None = None,
     ) -> int | None:
         """MERGE a change batch (parsed rows with ``_ab_*`` metadata cols)
@@ -359,7 +364,21 @@ class LakeTable:
         replacements are position-independent, so this is metadata-only);
         a COW rewrite is recomputed against the new target instead (its
         staged files bake in the stale target) after removing the stale
-        staging dir. ``_attempts`` (internal) carries the REMAINING retry
+        staging dir.
+
+        ``offset_watermark``: the caller's assertion that every batch of
+        this ``checkpoint_id`` with ``batch_id <`` the watermark has its
+        offsets durably committed in the streaming checkpoint — Structured
+        Streaming can then never redeliver them, so a KEYLESS table (whose
+        applied-batches record is its only exactly-once defense) may prune
+        those entries and keep snapshot metadata bounded instead of growing
+        O(total batches) forever. The streaming sink passes its current
+        batch_id (foreachBatch delivers batch N only after every batch < N
+        committed); ad-hoc/batch merges pass None and keyless records are
+        then never pruned (the r3 contract, unchanged). Keyed tables ignore
+        it — their bounded window + LWW idempotence already covers aging.
+
+        ``_attempts`` (internal) carries the REMAINING retry
         budget through the COW recomputation recursion so the bound is
         GLOBAL: without it each recursion level reset the budget, and under
         sustained contention the documented bound never applied (unbounded
@@ -428,16 +447,30 @@ class LakeTable:
                 applied = {key: new_version}  # fresh state, fresh record
             else:
                 applied = {**snap["applied_batches"], key: new_version}
-                # Keyless (append-mode) tables NEVER prune: the
-                # applied-batches record is their ONLY exactly-once defense
-                # — without an identity key there is no LWW to make a
-                # re-applied aged-out batch a no-op, so pruning would turn a
-                # late redelivery into duplicate rows. Keyed tables keep the
-                # bounded window (LWW is the second line of defense).
+                # Keyless (append-mode) tables prune ONLY below an explicit
+                # offset watermark: the record is their ONLY exactly-once
+                # defense (no LWW to make a re-applied aged-out batch a
+                # no-op), so entries may be dropped only once the caller
+                # asserts the streaming checkpoint has committed past them
+                # (below which redelivery is impossible). Without a
+                # watermark, keyless records are never pruned. Keyed tables
+                # keep the bounded window (LWW is the second line of
+                # defense).
                 if keys and len(applied) > max_applied:
                     applied = dict(
                         sorted(applied.items(), key=lambda kv: kv[1])[-max_applied:]
                     )
+                elif not keys and offset_watermark is not None:
+                    def _committed_below(k: str) -> bool:
+                        cp, _, b = k.rpartition(":")
+                        try:
+                            return cp == checkpoint_id and int(b) < offset_watermark
+                        except ValueError:
+                            return False
+
+                    applied = {
+                        k: v for k, v in applied.items() if not _committed_below(k)
+                    }
             new_snap = {
                 **snap,
                 "version": new_version,
@@ -469,6 +502,7 @@ class LakeTable:
                     return self.merge(
                         changes, batch_id, checkpoint_id, lineage,
                         pre_deduped, pre_partitioned,
+                        offset_watermark=offset_watermark,
                         _attempts=attempts - attempt - 1,
                     )
                 # MoR delta / truncating replacement: staged files are

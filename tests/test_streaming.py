@@ -51,6 +51,29 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path):
     assert table.digest() == digest
 
 
+def test_keyless_stream_bounds_applied_batches(spark, tmp_path):
+    """VERDICT r4 #3 end-to-end: a long keyless (append-only) streaming
+    replay keeps snapshot metadata bounded — the sink's offset_watermark
+    prunes exactly-once entries below the checkpoint's committed offset —
+    while a restart over the same checkpoint still appends nothing."""
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=23, n_events=240, n_shards=8), feed)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), n_buckets=4, key_columns=[]
+    )
+    pipe = CdcPipeline(table)
+    ck = str(tmp_path / "ck")
+    pipe.replay_stream(feed, ck, max_files_per_trigger=1)  # 8 micro-batches
+    applied = table.current_snapshot()["applied_batches"]
+    assert len(applied) == 1, f"keyless record not bounded: {sorted(applied)}"
+    n = table.read().count()
+    # append-only: every non-tombstone event lands (read() hides op='d')
+    assert n == sum(1 for e in events if e["record"]["data"]["op"] != "d")
+    # restart over the same checkpoint: nothing redelivers, nothing changes
+    pipe.replay_stream(feed, ck, max_files_per_trigger=1)
+    assert table.read().count() == n
+
+
 def test_continuous_tail_processes_live_data(spark, tmp_path):
     """T1 continuous mode: a processingTime-triggered tail picks up shards
     that arrive WHILE the query runs, converging to the oracle state without
