@@ -403,9 +403,58 @@ ORACLES["ann_topk_multiprobe"] = f"""
     FROM ranked WHERE rank <= 5
 """
 
-_IVF_CTE = """
-    cents AS (SELECT vec_id AS cell, qv AS cv, norm2 AS cn
-              FROM n WHERE vec_id < 64),
+def _ivf_train_cte(iters: int = 2, max_train_rows: int = 4096) -> str:
+    """Trained-quantizer CTE chain mirroring
+    operators.similarity._train_centroids_np bit-for-bit: modulus-capped
+    sample, first-``64`` lowest-vec_id seeds, ``iters`` Lloyd steps with
+    argmax-cosine assignment (first-max = lowest-cell tiebreak via
+    row_number) and element-wise floor-mean centroid updates in exact int64
+    (floor(sum/cnt) through double division is exact: |sum| < 2^53 and the
+    true quotient sits >= 1/cnt away from any integer it could round
+    across). Empty cells and zero-norm means keep the previous centroid."""
+    parts = [
+        f"""samp AS (SELECT vec_id, qv, norm2 FROM n
+             WHERE norm2 > 0 AND vec_id % (
+               SELECT CAST(greatest(1, ceil(count(*) / {max_train_rows}.0))
+                           AS BIGINT)
+               FROM embeddings) = 0),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                  qv AS cv, norm2 AS cn
+           FROM samp QUALIFY row_number() OVER (ORDER BY vec_id) <= 64)"""
+    ]
+    for j in range(iters):
+        parts.append(
+            f"""a{j} AS (SELECT vec_id, qv, cell FROM (
+        SELECT s.vec_id, s.qv, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 (list_sum(list_transform(range(1, 65),
+                      i -> s.qv[i] * c.cv[i]))::DOUBLE
+                   / sqrt((s.norm2 * c.cn)::DOUBLE)) DESC, c.cell) AS rn
+        FROM samp s, c{j} c) WHERE rn = 1),
+    g{j} AS (SELECT cell, list(qv) AS vs, count(*) AS cnt
+             FROM a{j} GROUP BY cell),
+    u{j} AS (SELECT cell,
+                    list_transform(range(1, 65), i ->
+                      CAST(floor(list_sum(list_transform(vs, v -> v[i]))::DOUBLE
+                                 / cnt) AS BIGINT)) AS mv
+             FROM g{j}),
+    un{j} AS (SELECT cell, mv,
+                     list_sum(list_transform(range(1, 65),
+                         i -> mv[i] * mv[i]))::BIGINT AS mn
+              FROM u{j}),
+    c{j + 1} AS (SELECT c.cell,
+                      CASE WHEN un.mn IS NULL OR un.mn = 0
+                           THEN c.cv ELSE un.mv END AS cv,
+                      CASE WHEN un.mn IS NULL OR un.mn = 0
+                           THEN c.cn ELSE un.mn END AS cn
+               FROM c{j} c LEFT JOIN un{j} un ON un.cell = c.cell)"""
+        )
+    parts.append(f"cents AS (SELECT cell, cv, cn FROM c{iters})")
+    return ",\n    ".join(parts)
+
+
+_IVF_CTE = f"""
+    {_ivf_train_cte()},
     simall AS (
       SELECT n.vec_id, n.qv, n.norm2, c.cell,
              list_sum(list_transform(range(1, 65),

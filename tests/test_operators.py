@@ -228,11 +228,15 @@ def test_near_dup_lsh_matches_allpairs_within_buckets(emb):
 def test_ann_recall_gate(emb):
     """Quantified recall@5 against the exact ranking.
 
-    Measured on this fixture (true top-5 at cosine 0.27-0.39): IVF
-    (64 cells, nprobe 8, ~12% of corpus scanned) reaches 0.88; 8-plane
-    SRP-LSH gets 0.02 single-probe / 0.10 with Hamming-1 multiprobe —
-    hyperplane LSH needs high-cosine targets, IVF follows data geometry.
-    Floors assert the measured ordering stays true."""
+    Measured on this fixture (true top-5 at cosine 0.27-0.39): IVF with
+    k-means-trained centroids (64 cells, nprobe 8, ~12% of corpus scanned)
+    reaches 0.90 — vs 0.88 for the r1-r4 untrained first-64 seeds at the
+    SAME scan fraction, and the 2-iteration Lloyd pin is the convergence
+    point (the iteration sweep 0..4 gives 0.88, 0.86, 0.90, 0.90, 0.90 —
+    assignments are bit-identical from iter 2 on). 8-plane SRP-LSH gets
+    0.02 single-probe / 0.10 with Hamming-1 multiprobe — hyperplane LSH
+    needs high-cosine targets, IVF follows data geometry. Floors assert
+    the measured ordering stays true."""
     from airbyte_module_spark.operators.similarity import (
         ann_brute_force,
         ann_ivf,
@@ -259,7 +263,7 @@ def test_ann_recall_gate(emb):
     recall_multi = len(multi & exact) / len(exact)
     recall_ivf = len(ivf & exact) / len(exact)
     assert recall_multi >= recall_single, "multiprobe must not lose recall"
-    assert recall_ivf >= 0.70, f"IVF recall@5 {recall_ivf}"
+    assert recall_ivf >= 0.90, f"trained IVF recall@5 {recall_ivf}"
     assert recall_ivf > recall_multi, "IVF is the recall-strong scale path"
 
 
