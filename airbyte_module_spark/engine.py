@@ -165,11 +165,21 @@ class Engine:
         return version
 
     # ------------------------------------------------------------------- cdc
-    def replay(self, feed_path: str, checkpoint_dir: str | None = None) -> None:
+    def replay(
+        self,
+        feed_path: str,
+        checkpoint_dir: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> None:
         """Bounded replay of a change feed (streaming with availableNow when
-        a checkpoint dir is given — resumable; plain batch otherwise)."""
+        a checkpoint dir is given — resumable; plain batch otherwise).
+        ``max_files_per_trigger`` splits the bounded replay into multiple
+        micro-batches (availableNow honors source rate limits) — the shape a
+        production tail actually runs."""
         if checkpoint_dir:
-            self.pipeline.replay_stream(feed_path, checkpoint_dir)
+            self.pipeline.replay_stream(
+                feed_path, checkpoint_dir, max_files_per_trigger=max_files_per_trigger
+            )
         else:
             self.pipeline.replay_batch(feed_path)
 

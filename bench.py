@@ -43,7 +43,13 @@ def sf_from_dir(sf_dir: str) -> str:
 
 
 def replay_until_steady(
-    spark, feed: str, work: str, tag: str = "r", max_runs: int = 14, min_runs: int = 5
+    spark,
+    feed: str,
+    work: str,
+    tag: str = "r",
+    max_runs: int = 14,
+    min_runs: int = 5,
+    max_files_per_trigger: int | None = None,
 ) -> tuple[list[float], "Engine"]:
     """Replay the same feed into fresh tables until wall-clock stabilizes;
     return (all trial times, engine of the last run).
@@ -76,7 +82,11 @@ def replay_until_steady(
             shutil.rmtree(os.path.join(work, f"ck_{tag}{i - 2}"), ignore_errors=True)
         eng = Engine(spark, os.path.join(work, f"table_{tag}{i}"), collect_lineage=True)
         t0 = time.time()
-        eng.replay(feed, checkpoint_dir=os.path.join(work, f"ck_{tag}{i}"))
+        eng.replay(
+            feed,
+            checkpoint_dir=os.path.join(work, f"ck_{tag}{i}"),
+            max_files_per_trigger=max_files_per_trigger,
+        )
         total = round(time.time() - t0, 3)
         trials.append(total)
         # per-phase serial-fraction profile: driver-side collects, the write

@@ -20,6 +20,20 @@ def test_streaming_replay_matches_oracle(spark, tmp_path):
     assert len(table.current_snapshot()["applied_batches"]) >= 3
 
 
+def test_engine_replay_multibatch(spark, tmp_path):
+    """Engine.replay(max_files_per_trigger=) splits a bounded replay into
+    micro-batches (the production tail shape scripts/multibatch_bench.py
+    measures) with final state identical to the one-shot replay."""
+    from airbyte_module_spark.engine import Engine
+
+    feed = str(tmp_path / "feed")
+    events = generate_feed(FeedSpec(seed=22, n_events=300, n_shards=6), feed)
+    eng = Engine(spark, str(tmp_path / "t"), collect_lineage=True)
+    eng.replay(feed, checkpoint_dir=str(tmp_path / "ck"), max_files_per_trigger=1)
+    assert len(eng.lineage()) >= 6
+    assert_matches_oracle(eng.table, events)
+
+
 def test_streaming_resume_from_checkpoint(spark, tmp_path):
     """Feed arrives in two stages; the second run resumes from the checkpoint
     and only processes new shards. Final state equals a one-shot replay."""
