@@ -198,9 +198,18 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def _srp_codes_udf(n_bands: int, rows_per_band: int):
+def _srp_codes_udf(n_bands: int, rows_per_band: int, stride: int | None = None):
     """Arrow-batched SRP signature kernel: array<long> qv → array of
-    ``n_bands`` bucket codes, bit r of band b = (qv · plane_{b·rows+r}) >= 0.
+    ``n_bands`` bucket codes, bit r of band b = (qv · plane_{b·stride+r}) >= 0.
+
+    ``stride`` is the plane-index distance between consecutive bands
+    (default ``rows_per_band`` — dense assignment, the historical layout
+    used by :func:`with_buckets` / :func:`lsh_buckets`). The banded
+    near-dup path passes a FIXED stride (:data:`NEARDUP_R_MAX`) larger
+    than ``rows_per_band`` so that growing the adaptive code width only
+    APPENDS planes to each band: the r-bit bucket is exactly the low-r-bit
+    truncation of the full-width code, which is what lets the SQL oracle
+    mirror adaptivity with one static code expression and a modulus.
 
     One numpy int64 matmul against the (planes × 64) coefficient matrix
     replaces an n_bands·rows_per_band·64-term Catalyst expression — the
@@ -208,7 +217,15 @@ def _srp_codes_udf(n_bands: int, rows_per_band: int):
     throttled codegen compile per plan in this sandbox and risks falling
     back to interpreted eval; the kernel's math is identical
     ((Q @ P.T) >= 0, exact int64), so oracles are unaffected."""
-    planes = np.array(plane_coeffs(n_bands * rows_per_band), dtype=np.int64)
+    if stride is None:
+        stride = rows_per_band
+    assert stride >= rows_per_band
+    all_planes = plane_coeffs(n_bands * stride)
+    planes = np.array(
+        [all_planes[b * stride + r]
+         for b in range(n_bands) for r in range(rows_per_band)],
+        dtype=np.int64,
+    )
     weights = 1 << np.arange(rows_per_band, dtype=np.int64)
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -690,17 +707,49 @@ def near_dup_pairs(
 
 N_NEARDUP_BANDS = 4
 NEARDUP_ROWS_PER_BAND = 4
+#: Fixed plane stride between bands: band b owns planes
+#: [b*NEARDUP_R_MAX, b*NEARDUP_R_MAX + rows_per_band). Because the stride —
+#: not the adaptive width — fixes plane assignment, an r-bit bucket is the
+#: low-r-bit truncation of the 16-bit code, and the static SQL oracle can
+#: mirror any adaptive width with ``full_code % (1 << r)``.
+NEARDUP_R_MAX = 16
+#: Target mean LSH bucket load the adaptive width maintains. 128 keeps the
+#: in-bucket pair expansion ~128²/2 per bucket and every realistic bucket
+#: far below the MAX_GROUP_SIZE=512 degenerate-bucket cap.
+NEARDUP_TARGET_BUCKET = 128
+
+
+def adaptive_rows_per_band(n_rows: int) -> int:
+    """Bucket-width staircase for the banded near-dup path: the smallest
+    r in {4, 8, 12, 16} such that n_rows / 2^r <= NEARDUP_TARGET_BUCKET
+    (i.e. expected bucket load stays bounded as the corpus grows — a FIXED
+    width is the thing sf1 falsified: at 10× the data every 4-bit bucket
+    blew the 512 cap and the capped plan returned zero pairs). Integer
+    comparisons only, so the SQL oracle reproduces it exactly (no
+    float-log2 edge cases). The recall trade (wider buckets collide fewer
+    true pairs per band) is the documented SRP-LSH cost of corpus growth;
+    production can raise ``n_bands`` to buy recall back — the knob is
+    already a parameter of :func:`banded_buckets`."""
+    for r in (4, 8, 12):
+        if n_rows <= NEARDUP_TARGET_BUCKET << r:
+            return r
+    return 16
 
 
 def banded_buckets(
     emb: DataFrame,
     vec_col: str = "embedding",
     n_bands: int = N_NEARDUP_BANDS,
-    rows_per_band: int = NEARDUP_ROWS_PER_BAND,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Multi-table SRP-LSH: ``n_bands`` independent ``rows_per_band``-bit
-    hyperplane signatures per vector (16 deterministic planes total).
+    hyperplane signatures per vector (plane stride :data:`NEARDUP_R_MAX`).
     Output: (vec_id, qv, norm2, band, bucket) — one row per band.
+    ``rows_per_band=None`` (the default) adapts the width to the corpus
+    size via :func:`adaptive_rows_per_band` — one count() job at plan
+    time (a column-pruned scan; the same eager-parameter pattern as the
+    verifier's cap, and the price of bucket load that stays bounded at
+    any corpus size).
 
     Why banding instead of one wide signature: a single 8-plane bucket
     collides a cosine-0.45 pair with p = (1-θ/π)^8 ≈ 0.03 (useless recall);
@@ -709,8 +758,10 @@ def banded_buckets(
     while a random pair (cosine 0) still collides in only ~4/16 of buckets'
     worth of pairs (1-(1-1/16)^4 ≈ 0.23 of a 2^4-bucket table per band).
     Same banding trade as MinHash-LSH (operators/dedup.py)."""
+    if rows_per_band is None:
+        rows_per_band = adaptive_rows_per_band(emb.count())
     q = with_quantized(emb, vec_col)
-    codes = _srp_codes_udf(n_bands, rows_per_band)
+    codes = _srp_codes_udf(n_bands, rows_per_band, stride=NEARDUP_R_MAX)
     return q.select(
         "vec_id",
         "qv",

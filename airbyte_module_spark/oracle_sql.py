@@ -508,16 +508,22 @@ ORACLES["ann_topk_ivf"] = f"""
 
 
 def _band_bucket_sqls(n_bands: int = 4, rows_per_band: int = 4) -> list[str]:
-    """Mirror of operators.similarity.banded_buckets: per-band bucket value
-    from the same 16 deterministic hyperplanes."""
-    from airbyte_module_spark.operators.similarity import plane_coeffs
+    """Mirror of operators.similarity.banded_buckets: per-band FULL-WIDTH
+    (NEARDUP_R_MAX-bit) SRP code from the same deterministic hyperplanes,
+    plane stride = NEARDUP_R_MAX. The adaptive r-bit bucket is the low-r-bit
+    truncation of this code (``code % (1 << r)``), so ONE static expression
+    mirrors every corpus-size-dependent width the Spark side can choose."""
+    from airbyte_module_spark.operators.similarity import (
+        NEARDUP_R_MAX,
+        plane_coeffs,
+    )
 
-    planes = plane_coeffs(n_bands * rows_per_band)
+    planes = plane_coeffs(n_bands * NEARDUP_R_MAX)
     exprs = []
     for b in range(n_bands):
         bits = []
         for r in range(rows_per_band):
-            lit = "[" + ", ".join(f"{c}::BIGINT" for c in planes[b * rows_per_band + r]) + "]"
+            lit = "[" + ", ".join(f"{c}::BIGINT" for c in planes[b * NEARDUP_R_MAX + r]) + "]"
             bits.append(
                 f"CASE WHEN list_sum(list_transform(range(1, 65), "
                 f"i -> qv[i] * ({lit})[i])) >= 0 THEN {1 << r} ELSE 0 END"
@@ -526,22 +532,67 @@ def _band_bucket_sqls(n_bands: int = 4, rows_per_band: int = 4) -> list[str]:
     return exprs
 
 
-_B0, _B1, _B2, _B3 = _band_bucket_sqls()
+def _neardup_modulus_sql() -> str:
+    """Mirror of operators.similarity.adaptive_rows_per_band as a bucket
+    MODULUS (1 << r): the smallest r in {4, 8, 12, 16} keeping expected
+    bucket load <= NEARDUP_TARGET_BUCKET. Integer comparisons on count(*)
+    of the RAW embeddings table (the Spark side counts the input DataFrame
+    before the null/zero-norm filter), so both engines derive the identical
+    width with no float-log edge cases."""
+    from airbyte_module_spark.operators.similarity import NEARDUP_TARGET_BUCKET
+
+    cases = " ".join(
+        f"WHEN count(*) <= {NEARDUP_TARGET_BUCKET << r} THEN {1 << r}"
+        for r in (4, 8, 12)
+    )
+    return f"SELECT CASE {cases} ELSE {1 << 16} END AS modulus FROM embeddings"
+
+
+def _neardup_rmax():
+    from airbyte_module_spark.operators.similarity import NEARDUP_R_MAX
+
+    return NEARDUP_R_MAX
+
+
+_C0, _C1, _C2, _C3 = _band_bucket_sqls(rows_per_band=_neardup_rmax())
 
 ORACLES["embedding_near_dup_lsh"] = f"""
     WITH {_QUANT_CTE},
+    m AS ({_neardup_modulus_sql()}),
     bb AS (
       SELECT vec_id, qv, norm2,
-             {_B0} AS b0, {_B1} AS b1, {_B2} AS b2, {_B3} AS b3
-      FROM n
+             {_C0} % modulus AS b0, {_C1} % modulus AS b1,
+             {_C2} % modulus AS b2, {_C3} % modulus AS b3
+      FROM n, m
+    ),
+    cand AS (
+      -- one hash-equi join per band + DISTINCT across bands: identical
+      -- pair set to the OR-join form, but each branch hash-joins on its
+      -- bucket (the OR form forces a nested loop over all N^2/2 pairs,
+      -- infeasible at sf1) — and the same candidate shape the Spark plan
+      -- uses (band-bucket equi join, pair dedup by groupBy).
+      SELECT DISTINCT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bb a JOIN bb b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id, b.vec_id
+          FROM bb a JOIN bb b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id, b.vec_id
+          FROM bb a JOIN bb b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id, b.vec_id
+          FROM bb a JOIN bb b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
+      )
     ),
     pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_DOT_AB} AS dot_q,
-             a.norm2 AS na, b.norm2 AS nb2
-      FROM bb a JOIN bb b
-        ON a.vec_id < b.vec_id
-       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      SELECT c.vec_a, c.vec_b,
+             list_sum(list_transform(range(1, 65),
+                 i -> x.qv[i] * y.qv[i]))::BIGINT AS dot_q,
+             x.norm2 AS na, y.norm2 AS nb2
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_a
+      JOIN n y ON y.vec_id = c.vec_b
     )
     SELECT vec_a, vec_b, dot_q,
            dot_q::DOUBLE / sqrt((na * nb2)::DOUBLE) AS cosine
