@@ -679,26 +679,67 @@ def near_dup_pairs(
     norms_all = pdf["norm2"].to_numpy()[order].astype(np.int64)
     bc = q.sparkSession.sparkContext.broadcast((ids_all, M_all, norms_all))
     thr = float(threshold)
+    # Spread the row side across the cluster: the corpus usually arrives as
+    # ONE parquet file -> one partition, which would run the whole O(N²)
+    # matmul on a single core (measured: the entire sf1 verifier cost was
+    # one task). ~512 rows per task gives every core a block while keeping
+    # tasks coarse enough to amortize the Python worker round-trip; the
+    # shuffle moved is only the N×64 quantized rows (~10 MB at the cap).
+    par = q.sparkSession.sparkContext.defaultParallelism
+    q = q.repartition(max(1, min(par, -(-len(pdf) // 512))))
 
     def score(batches):
         b_ids, B, b_norms = bc.value
+        # The N×64 @ 64×N matmul in float64, NOT int64: numpy routes int64
+        # matmul through a naive non-BLAS loop (measured 104s for the full
+        # 20k×20k block at sf1 vs ~2s via BLAS). The result is still the
+        # EXACT integer dot — every product and partial sum of quantized
+        # coordinates stays far below 2^53, where float64 arithmetic on
+        # integers is exact — guarded loudly: 64 * qmax² < 2^53.
+        Bf = B.astype(np.float64)
+        # Chunk the broadcast side: a full Arrow batch against all 20k
+        # corpus rows is a 10000×20000 float64 score matrix (1.6 GB) plus
+        # an equal-size norm-product and mask — 32 concurrent workers at
+        # that peak thrash the allocator (the measured 100s+ at sf1 was
+        # allocation/memory traffic, not multiply-adds). 2048-column
+        # chunks bound peak per-worker scratch to ~50 MB at any corpus
+        # size with BLAS still saturated.
+        B_CHUNK = 2048
         for batch in batches:
             if len(batch) == 0:
                 continue
             a_ids = batch["vec_id"].to_numpy().astype(np.int64)
             A = np.stack(batch["qv"].to_numpy()).astype(np.int64)
             a_norms = batch["norm2"].to_numpy().astype(np.int64)
-            D = A @ B.T  # exact int64
-            cos = D / np.sqrt((a_norms[:, None] * b_norms[None, :]).astype(np.float64))
-            mask = (cos >= thr) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(mask)
-            if len(ai):
+            qmax = max(np.abs(A).max(initial=0), np.abs(B).max(initial=0))
+            if PLANE_DIM * qmax * qmax >= 2**53:
+                raise ValueError(
+                    f"quantized magnitude {qmax} too large for exact float64 dot"
+                )
+            Af = A.astype(np.float64)
+            out_a, out_b, out_d, out_c = [], [], [], []
+            for lo in range(0, len(b_ids), B_CHUNK):
+                hi = lo + B_CHUNK
+                D = np.rint(Af @ Bf[lo:hi].T).astype(np.int64)  # exact
+                # ONE sqrt of the int64 norm PRODUCT (not sqrt*sqrt):
+                # bit-identical to the SQL oracle's sqrt((na*nb)::DOUBLE)
+                cos = D / np.sqrt(
+                    (a_norms[:, None] * b_norms[None, lo:hi]).astype(np.float64)
+                )
+                mask = (cos >= thr) & (a_ids[:, None] < b_ids[None, lo:hi])
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    out_a.append(a_ids[ai])
+                    out_b.append(b_ids[lo:hi][bj])
+                    out_d.append(D[ai, bj])
+                    out_c.append(cos[ai, bj])
+            if out_a:
                 yield pd.DataFrame(
                     {
-                        "vec_a": a_ids[ai],
-                        "vec_b": b_ids[bj],
-                        "dot_q": D[ai, bj],
-                        "cosine": cos[ai, bj],
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "dot_q": np.concatenate(out_d),
+                        "cosine": np.concatenate(out_c),
                     }
                 )
 
