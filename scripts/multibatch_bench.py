@@ -104,6 +104,11 @@ def main() -> None:
                 "events_per_sec": round(args.events / min(trials), 1),
                 "trials": [round(t, 3) for t in trials],
                 "final_rows": eng.read().count(),
+                # NB: pipeline.timings is reset per apply_batch call, so in
+                # multi mode these phases describe the LAST micro-batch of
+                # the best trial (a representative per-batch profile), not
+                # a whole-trial sum — the per-batch fixed cost is the
+                # derived overhead_per_batch_sec below, not total-minus-sum
                 "best_trial_phases": eng.trial_timings[best],
             }
             print(f"{mode}: {out['modes'][mode]}", file=sys.stderr)
