@@ -141,7 +141,21 @@ def _quantize_np(vectors) -> np.ndarray:
     R = np.rint(V)
     tr = np.trunc(V)
     half = np.abs(V - tr) == 0.5
-    return np.where(half, tr + np.copysign(1.0, V), R).astype(np.int64)
+    Q = np.where(half, tr + np.copysign(1.0, V), R).astype(np.int64)
+    # Magnitude guard for ALL downstream exact arithmetic: with
+    # dim*q² <= 2^31, norm2 fits 2^31, the norm PRODUCT na*nb fits int64
+    # (DuckDB raises on BIGINT overflow while numpy silently wraps — the
+    # engines would diverge), and every dot is far below the 2^53 bound
+    # where float64 BLAS matmuls are still exact integers. Raise loudly
+    # instead of flowing wrapped garbage through cosine filters; the fix
+    # for a legitimate corpus is to normalize the embeddings.
+    qmax = int(np.abs(Q).max(initial=0))
+    if PLANE_DIM * qmax * qmax > 2**31:
+        raise ValueError(
+            f"quantized magnitude {qmax} exceeds the exact-arithmetic bound "
+            f"(dim*q^2 must fit 2^31; normalize embeddings before ingest)"
+        )
+    return Q
 
 
 @pandas_udf(
@@ -711,11 +725,9 @@ def near_dup_pairs(
             a_ids = batch["vec_id"].to_numpy().astype(np.int64)
             A = np.stack(batch["qv"].to_numpy()).astype(np.int64)
             a_norms = batch["norm2"].to_numpy().astype(np.int64)
-            qmax = max(np.abs(A).max(initial=0), np.abs(B).max(initial=0))
-            if PLANE_DIM * qmax * qmax >= 2**53:
-                raise ValueError(
-                    f"quantized magnitude {qmax} too large for exact float64 dot"
-                )
+            # exactness of the float64 dot is guaranteed by _quantize_np's
+            # magnitude guard (dim*q² <= 2^31 << 2^53) — every qv here has
+            # passed through it
             Af = A.astype(np.float64)
             out_a, out_b, out_d, out_c = [], [], [], []
             for lo in range(0, len(b_ids), B_CHUNK):

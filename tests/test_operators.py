@@ -490,3 +490,89 @@ def test_nan_element_raises_not_silent_garbage(spark):
     )
     with pytest.raises(Exception, match="NaN"):
         with_quantized(bad).collect()
+
+
+def test_adaptive_lsh_width_staircase():
+    """sf1 regression class: a FIXED bucket width cannot survive corpus
+    growth — at 10x the data every 4-bit bucket blew the 512-row cap and
+    the capped LSH plan returned ZERO pairs. The width staircase must grow
+    the bucket count so expected load stays <= NEARDUP_TARGET_BUCKET."""
+    from airbyte_module_spark.operators.similarity import (
+        NEARDUP_TARGET_BUCKET,
+        adaptive_rows_per_band,
+    )
+
+    assert adaptive_rows_per_band(0) == 4
+    assert adaptive_rows_per_band(2048) == 4
+    assert adaptive_rows_per_band(2049) == 8       # sf1's 20k lands here
+    assert adaptive_rows_per_band(20000) == 8
+    assert adaptive_rows_per_band(128 << 8) == 8
+    assert adaptive_rows_per_band((128 << 8) + 1) == 12
+    assert adaptive_rows_per_band(10**9) == 16
+    for n in (1, 2048, 2049, 20000, 524288):
+        r = adaptive_rows_per_band(n)
+        # expected mean load bounded at every step of the staircase
+        assert n / (1 << r) <= NEARDUP_TARGET_BUCKET
+
+
+def test_lsh_near_dup_survives_large_corpus(spark):
+    """End-to-end pin of the sf1 failure: on a corpus LARGER than the
+    r=4 staircase step (>2048 rows), the adaptive-width LSH path must
+    still emit the planted near-duplicate pairs (the fixed-width form
+    dropped every bucket at the 512 cap and returned zero rows), and the
+    r-bit bucket must be the low-r-bit truncation of the full code (the
+    property the SQL oracle's `code % modulus` mirror relies on)."""
+    import numpy as np
+
+    from airbyte_module_spark.operators.similarity import (
+        NEARDUP_R_MAX,
+        banded_buckets,
+        near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(1500, 64))
+    # plant 1500 exact-duplicate pairs (cosine 1.0) in a 3000-row corpus
+    rows = [(i, base[i % 1500].tolist()) for i in range(3000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = near_dup_pairs_lsh(emb, threshold=0.999)
+    pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
+    planted = {(i, i + 1500) for i in range(1500)}
+    # banding recall < 1 by design, but the fixed-width bug returned ZERO;
+    # identical vectors share every band bucket, so recall here must be 1
+    assert pairs >= planted
+    # truncation property: explicit r=4 buckets == adaptive buckets mod 16
+    wide = {
+        (r.vec_id, r.band): r.bucket for r in banded_buckets(emb).collect()
+    }
+    narrow = {
+        (r.vec_id, r.band): r.bucket
+        for r in banded_buckets(emb, rows_per_band=4).collect()
+    }
+    assert set(wide) == set(narrow)
+    assert all(wide[k] % 16 == narrow[k] for k in wide)
+
+
+def test_verifier_blas_guard_and_chunking(spark):
+    """Exact-arithmetic magnitude guard: embeddings whose quantized
+    magnitude could overflow the int64 norm product (where DuckDB raises
+    but numpy silently wraps) or break float64-BLAS dot exactness must
+    raise loudly at quantization; and the chunked matmul must return the
+    identical pair set across chunk boundaries."""
+    import numpy as np
+
+    from airbyte_module_spark.operators.similarity import near_dup_pairs
+
+    huge = spark.createDataFrame(
+        [(0, [4.0e6] * 64), (1, [4.0e6] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="exceeds the exact-arithmetic bound"):
+        near_dup_pairs(huge, threshold=0.9).collect()
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 64))
+    rows = [(i, base[i % 40].tolist()) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b) for r in near_dup_pairs(emb, 0.999).collect()}
+    assert got >= {(i, i + 40) for i in range(40)}
