@@ -257,6 +257,78 @@ def shingle_postings(
     )
 
 
+#: Posting elements pack (doc_id, n_sh) into ONE int64: doc_id rides the
+#: high bits, the doc's shingle-set size the low ``_PACK_BITS``. Sorting the
+#: packed longs orders by doc_id first (doc_id is unique within a posting
+#: list), exactly like the former struct(doc_id, n_sh) sort, at half the
+#: bytes and a primitive-long compare. Range is guarded loudly at pack time:
+#: doc_id < 2^41, n_sh < 2^21 (a 2M-shingle document or a 2.2T-row doc_id
+#: space needs a wider packing, not silent wraparound).
+_PACK_BITS = 21
+_PACK = 1 << _PACK_BITS
+
+
+def _pair_count_kernel(threshold: float):
+    """Arrow-batched pair counter for :func:`ngram_jaccard_pairs`.
+
+    Input rows (hash-partitioned by ``pa``): one posting-list tail per
+    earlier-doc occurrence — ``pa`` the packed earlier doc, ``tail`` the
+    packed later docs of the same posting list. Every (pa, tail-element)
+    emission is one shared shingle of that ordered pair, and ALL emissions
+    of a pair share the same ``pa``, so after the pa-partitioning the
+    GLOBAL pair count is computable entirely inside one task: concatenate
+    the partition's emissions, lexsort, run-length count — no 10^8-key
+    hash aggregation, no exchange of per-pair rows at all (the r5 form
+    shuffled ~114M distinct (doc_a, doc_b) struct keys through a count
+    groupBy at sf1: 90% of pairs share exactly ONE shingle and exist only
+    to be discarded by the threshold — measured 42s, ~all of it in that
+    aggregate). The jaccard division is the same single IEEE-double op on
+    exact ints as the expression form (numpy true_divide == Spark's
+    double division), so values stay bit-identical to the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        a_parts, b_parts = [], []
+        for b in batches:
+            tails = b["tail"]
+            if len(tails) == 0:
+                continue
+            lens = np.fromiter(
+                (len(t) for t in tails), dtype=np.int64, count=len(tails)
+            )
+            a_parts.append(
+                np.repeat(b["pa"].to_numpy().astype(np.int64), lens)
+            )
+            b_parts.append(np.concatenate([np.asarray(t) for t in tails]))
+        if not a_parts:
+            return
+        a = np.concatenate(a_parts)
+        bb = np.concatenate(b_parts).astype(np.int64)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        np.logical_or(a[1:] != a[:-1], bb[1:] != bb[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(a)))
+        pa_u, pb_u = a[starts], bb[starts]
+        nsh_a = pa_u & (_PACK - 1)
+        nsh_b = pb_u & (_PACK - 1)
+        jac = counts / (nsh_a + nsh_b - counts)  # exact ints, one IEEE div
+        keep = jac >= threshold
+        yield pd.DataFrame(
+            {
+                "doc_a": pa_u[keep] >> _PACK_BITS,
+                "doc_b": pb_u[keep] >> _PACK_BITS,
+                "n_common": counts[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return kernel
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -265,8 +337,8 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = MAX_GROUP_SIZE,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
-    via an inverted-index self-join (explode shingles → equi-join on the
-    shingle → count common), thresholded.
+    via an inverted index (explode shingles → posting lists → per-doc pair
+    counting), thresholded.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — a single division of exact integer
     counts, so the value is IEEE-identical across engines.
@@ -278,39 +350,54 @@ def ngram_jaccard_pairs(
     of pairs whose sole common shingles are stop-shingles is affected. Audit
     drops with ``oversize_groups(shingle_postings(...), max_doc_freq)``.
 
-    The inverted index is groupBy(shingle) → sorted posting list → in-list
-    pair expansion (the same shape as lsh_candidate_pairs), not a self-join:
-    one pass over the exploded shingles instead of two, measured 1.9x
-    faster. The posting-list elements are ``struct(doc_id, n_sh)`` — each
-    doc's shingle-set size rides along into the pair expansion, so the
-    jaccard denominator needs NO size join and NO second tokenize pass
-    (the r1-r4 form re-ran word_shingles for a sizes table and joined it
-    twice; carrying 4 bytes per posting element measured ~0.9s cheaper on
-    the whole query at sf0.1). Sorting structs orders by doc_id first
-    (unique within a posting list), so doc_a < doc_b is preserved."""
+    Counting shape (r6): posting lists are sorted arrays of PACKED
+    (doc_id, n_sh) longs; each list expands to (pa, tail) rows — the packed
+    earlier doc and the packed later docs — which are hash-partitioned by
+    ``pa`` and counted with run-length numpy inside one Arrow kernel
+    (:func:`_pair_count_kernel`). Every contribution to an ordered pair
+    (a, b) carries the same ``pa``, so partitioning by ``pa`` alone makes
+    the in-task count the exact global count; what crosses the wire is the
+    packed tails (Σ df²/2 longs), not one row per (pair, shingle) — and the
+    10^8-key pair hash-aggregate of the r5 shape (the measured 42s at sf1:
+    90% of pairs share one shingle and exist only to be thresholded away)
+    disappears entirely. Sizes still ride the postings, so there is no size
+    join and no second tokenize pass."""
     sh = docs.filter(F.length(text_col) > 0).select(
         "doc_id", word_shingles(F.col(text_col), n=n).alias("sh")
     )
+    packed = (
+        F.col("doc_id") * _PACK
+        + F.col("n_sh")
+        + F.coalesce(
+            F.assert_true(
+                (F.col("doc_id") >= 0)
+                & (F.col("doc_id") < F.lit(1 << 41))
+                & (F.col("n_sh") < _PACK),
+                F.lit("ngram_jaccard packing range: need 0 <= doc_id < 2^41 "
+                      "and n_sh < 2^21"),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    )
     ex = sh.select(
         F.size("sh").alias("n_sh"), F.explode("sh").alias("s"), "doc_id"
-    )
+    ).select(packed.alias("p"), "s")
     postings = (
         ex.groupBy("s")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
+        .agg(F.array_sort(F.collect_list("p")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    common = _expand_pairs(postings, max_doc_freq).withColumnRenamed(
-        "n_collisions", "n_common"
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("doc_a.n_sh") + F.col("doc_b.n_sh") - F.col("n_common")
-    ).cast("double")
-    return (
-        common.select(
-            F.col("doc_a.doc_id").alias("doc_a"),
-            F.col("doc_b.doc_id").alias("doc_b"),
-            "n_common",
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("docs") <= max_doc_freq)
+    tails = postings.select(
+        F.col("docs"), F.posexplode("docs").alias("i", "pa")
+    ).select(
+        "pa",
+        F.slice(F.col("docs"), F.col("i") + F.lit(2), F.size("docs")).alias(
+            "tail"
+        ),
+    ).filter(F.size("tail") > 0)
+    return tails.repartition(F.col("pa")).mapInPandas(
+        _pair_count_kernel(threshold),
+        schema="doc_a long, doc_b long, n_common long, jaccard double",
     )

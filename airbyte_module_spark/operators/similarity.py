@@ -47,6 +47,8 @@ into the join. Never BatchEvalPython (plan-pinned).
 from __future__ import annotations
 
 import hashlib
+import os
+from urllib.parse import urlparse
 
 import numpy as np
 import pandas as pd
@@ -429,6 +431,70 @@ N_IVF_PROBES = 8
 MAX_TRAIN_ROWS = 4096
 KMEANS_ITERS = 2
 
+# --------------------------------------------------------------- corpus cache
+#: Session-scoped memo of per-corpus *plan-time parameters* — the corpus row
+#: count (drives the verifier subsample modulus, the adaptive LSH bucket
+#: width, and the IVF training sample) and the trained IVF centroids. These
+#: are deterministic pure functions of the corpus content, re-derived per
+#: query call in r5 — a suite touching several similarity queries re-counted
+#: (and re-Lloyd-ed) the same corpus every time, which is also the wrong
+#: production lifecycle (you train an IVF quantizer once per corpus, not per
+#: query). Keyed on (canonicalized plan, input files + local mtime/size), so
+#: a different filter over the same files, or a rewritten file at the same
+#: path, misses the cache and recomputes; a corpus not backed by files
+#: (createDataFrame in tests) is never cached. Bounded FIFO — this memoizes
+#: metadata-sized artifacts (one int; 64 x 64 ints), never row data, and
+#: never query results: every bench/oracle invocation still computes its
+#: answer from the parquet inputs.
+_CORPUS_CACHE: dict = {}
+_CORPUS_CACHE_MAX = 64
+#: Cache-miss counters, exposed for the lifecycle regression tests (a second
+#: identical call must not re-count / re-train).
+CACHE_MISSES = {"count": 0, "centroids": 0}
+
+
+def _corpus_cache_key(df: DataFrame):
+    try:
+        files = df.inputFiles()
+        sem = df.semanticHash()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sig = []
+    for f in sorted(files):
+        p = urlparse(f)
+        mtime = size = None
+        if p.scheme in ("file", ""):
+            try:
+                st = os.stat(p.path or f)
+                mtime, size = st.st_mtime_ns, st.st_size
+            except OSError:
+                pass
+        sig.append((f, mtime, size))
+    return (sem, tuple(sig))
+
+
+def _corpus_memo(df: DataFrame, slot, compute):
+    key = _corpus_cache_key(df)
+    if key is None:
+        CACHE_MISSES[slot if isinstance(slot, str) else slot[0]] += 1
+        return compute()
+    ent = _CORPUS_CACHE.get(key)
+    if ent is None:
+        if len(_CORPUS_CACHE) >= _CORPUS_CACHE_MAX:
+            _CORPUS_CACHE.pop(next(iter(_CORPUS_CACHE)))
+        ent = _CORPUS_CACHE[key] = {}
+    if slot not in ent:
+        CACHE_MISSES[slot if isinstance(slot, str) else slot[0]] += 1
+        ent[slot] = compute()
+    return ent[slot]
+
+
+def corpus_count(df: DataFrame) -> int:
+    """Corpus row count, memoized per corpus identity (see _CORPUS_CACHE)."""
+    return _corpus_memo(df, "count", df.count)
+
 
 def _train_centroids_np(
     emb: DataFrame, n_cells: int, vec_col: str
@@ -464,7 +530,7 @@ def _train_centroids_np(
     the CONVERGED assignment — iterations 3 and 4 are bit-identical no-ops —
     so KMEANS_ITERS=2 is the saturation point, not a budget cut;
     tests/test_operators.py::test_ann_recall_gate)."""
-    total = emb.count()
+    total = corpus_count(emb)
     m = max(1, -(-total // MAX_TRAIN_ROWS))  # ceil
     samp = with_quantized(emb.filter(F.col("vec_id") % m == 0), vec_col)
     rows = sorted(samp.collect(), key=lambda r: r["vec_id"])
@@ -490,6 +556,21 @@ def _train_centroids_np(
             C[c] = mv
             cn[c] = mn
     return np.arange(k, dtype=np.int64), C, cn
+
+
+def _train_centroids(emb: DataFrame, n_cells: int, vec_col: str):
+    """Train-once lifecycle for the coarse quantizer: centroids are a
+    deterministic pure function of the corpus, so they are memoized per
+    corpus identity (_CORPUS_CACHE) — ``ann_ivf``/``ivf_assign`` invoked
+    repeatedly against the same corpus pay count+collect+Lloyd exactly once
+    (the r5 per-call retraining was the measured +48% ann_ivf_cells
+    regression, and re-Lloyd-ing per query is the wrong shape at any scale).
+    The artifact is 64 x 64 int64 + norms — metadata-sized."""
+    return _corpus_memo(
+        emb,
+        ("centroids", n_cells, vec_col),
+        lambda: _train_centroids_np(emb, n_cells, vec_col),
+    )
 
 
 def _centroids_df(spark, trained) -> DataFrame:
@@ -524,7 +605,7 @@ def ivf_assign(
     is identical; cosine doubles are the same IEEE ops as the expression
     form (oracle-pinned)."""
     q = with_quantized(emb, vec_col)
-    trained = _trained if _trained is not None else _train_centroids_np(
+    trained = _trained if _trained is not None else _train_centroids(
         emb, n_cells, vec_col
     )
     if trained is None:
@@ -567,7 +648,7 @@ def ann_ivf(
     neighbors sit at moderate cosine (this fixture's top-5 live at
     0.27-0.39), while IVF cells follow the data's own geometry. Same output
     shape as :func:`ann_brute_force`."""
-    trained = _train_centroids_np(emb, n_cells, vec_col)
+    trained = _train_centroids(emb, n_cells, vec_col)
     assigned = ivf_assign(emb, n_cells, vec_col, _trained=trained)
     q = with_quantized(emb, vec_col)
     if trained is None:
@@ -676,7 +757,7 @@ def near_dup_pairs(
 
     PAIR_SCHEMA = "vec_a long, vec_b long, dot_q long, cosine double"
     if max_rows:
-        n = emb.count()
+        n = corpus_count(emb)
         if n > max_rows:
             m = -(-n // max_rows)  # ceil
             emb = emb.filter(F.col("vec_id") % m == 0)
@@ -812,7 +893,7 @@ def banded_buckets(
     worth of pairs (1-(1-1/16)^4 ≈ 0.23 of a 2^4-bucket table per band).
     Same banding trade as MinHash-LSH (operators/dedup.py)."""
     if rows_per_band is None:
-        rows_per_band = adaptive_rows_per_band(emb.count())
+        rows_per_band = adaptive_rows_per_band(corpus_count(emb))
     q = with_quantized(emb, vec_col)
     codes = _srp_codes_udf(n_bands, rows_per_band, stride=NEARDUP_R_MAX)
     return q.select(

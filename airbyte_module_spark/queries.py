@@ -22,12 +22,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelization for unsplittable inputs.
+
+    The test corpora arrive as ONE parquet file with ONE row group, so the
+    scan is a single task no matter what ``maxPartitionBytes`` says (a
+    row group is the parquet split atom) — and every expression-heavy map
+    stage above it (sha256 shingling, from_json, regex tokenization) runs
+    on one core of 32 (guide §2.5 "input skew: one huge unsplittable
+    file... repartition immediately after the read"). The guard keeps this
+    a no-op at cluster scale: a properly-laid-out table (many files /
+    row groups) already scans at >= defaultParallelism and is returned
+    untouched, so the exchange is only paid when the scan would otherwise
+    starve the cluster, and what it moves is the small unsplittable input
+    itself."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _parallel(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,7 +335,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- similarity
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _parallel(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,7 +435,9 @@ def envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_module_spark import model
     from airbyte_module_spark.sources.feed import parse_envelopes_once
 
-    ev = _events(spark, sf_dir)
+    # this query's map side is to_json + from_json over every event — the
+    # single-row-group scan must be spread before it (see _parallel)
+    ev = _parallel(_events(spark, sf_dir))
     op = (
         F.when(F.col("event_type") == "signup", F.lit("i"))
         .when(F.col("event_type") == "error", F.lit("d"))
