@@ -289,6 +289,11 @@ def _pair_count_kernel(threshold: float):
     import pandas as pd
 
     def kernel(batches):
+        # tails arrive as list<long> cells, NOT pre-exploded flat rows: the
+        # Python-runner cost is per ROW, so shipping 2.6M array cells
+        # measured ~3s of Arrow transfer where the flattened 127M-row form
+        # measured ~30s (A/B at sf1) — the array form amortizes the runner
+        # overhead ~50 elements per row
         a_parts, b_parts = [], []
         for b in batches:
             tails = b["tail"]
@@ -397,6 +402,10 @@ def ngram_jaccard_pairs(
             "tail"
         ),
     ).filter(F.size("tail") > 0)
+    # shuffle the PACKED TAIL ARRAYS (Σ df²/2 longs — the minimum any
+    # inverted-index pair counter must move) keyed by the earlier doc, and
+    # hand the arrays straight to the kernel (see _pair_count_kernel for
+    # why the arrays are NOT flattened to per-pair rows first).
     return tails.repartition(F.col("pa")).mapInPandas(
         _pair_count_kernel(threshold),
         schema="doc_a long, doc_b long, n_common long, jaccard double",

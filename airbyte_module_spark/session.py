@@ -72,6 +72,20 @@ def get_spark(
         # rename pass is serial in the driver and therefore a fixed cost
         # that scales with file count, not with executors
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # InferFiltersFromGenerate clones the generator's CHILD expression
+        # into an inferred `size(e) > 0 AND isnotnull(e)` filter, and
+        # PushDownPredicates then pushes that filter below any exchange —
+        # for explode(word_shingles(text)) the whole interpreted zip_with
+        # shingle pipeline is re-evaluated per row a second time, ON THE
+        # PRE-REPARTITION (single-task, unsplittable-scan) side: measured
+        # 3.6s vs 0.5s for the ngram-jaccard explode stage at sf1. The
+        # rule only saves materializing rows whose array is empty (explode
+        # drops them anyway); for this engine's generators the guard is
+        # pure loss, so exclude it session-wide.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     # deployment hook: SPARK_GRAFT_EXTRA_CONF='{"spark.memory.offHeap.enabled":
     # "true", ...}' overlays arbitrary conf without code changes — used by the
