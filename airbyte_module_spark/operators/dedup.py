@@ -405,8 +405,16 @@ def ngram_jaccard_pairs(
     # shuffle the PACKED TAIL ARRAYS (Σ df²/2 longs — the minimum any
     # inverted-index pair counter must move) keyed by the earlier doc, and
     # hand the arrays straight to the kernel (see _pair_count_kernel for
-    # why the arrays are NOT flattened to per-pair rows first).
-    return tails.repartition(F.col("pa")).mapInPandas(
+    # why the arrays are NOT flattened to per-pair rows first). The
+    # partition count is pinned to cluster parallelism: AQE's byte-based
+    # advisory sizing would coalesce this exchange to a handful of
+    # partitions and starve the CPU-heavy counting kernel (the kernel's
+    # cost is per ELEMENT of the packed arrays, which the byte estimate
+    # under-weights ~8x vs plain rows).
+    # 2x oversubscription: two waves per slot smooth per-task skew in the
+    # counting kernel (measured 2.3-3.9s at 1x vs steady 2.1-2.3s at 2x)
+    par = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    return tails.repartition(par, F.col("pa")).mapInPandas(
         _pair_count_kernel(threshold),
         schema="doc_a long, doc_b long, n_common long, jaccard double",
     )

@@ -135,10 +135,14 @@ def _quantize_np(vectors) -> np.ndarray:
             f"embedding length != {PLANE_DIM} (vec_id column has a short/long vector)"
         )
     V = np.stack(np.asarray(vectors, dtype=object)).astype(np.float64) * 1000.0
-    if np.isnan(V).any():
+    if not np.isfinite(V).all():
+        # finiteness, not just NaN: ±inf passes an isnan check, casts to
+        # INT64_MIN, and |INT64_MIN| wraps negative so the dim*q² magnitude
+        # guard below would never fire — silent garbage in the exact paths
         raise ValueError(
-            "embedding contains NaN/null elements (whole-null vectors are "
-            "dropped upstream; a partially-null vector is corrupt input)"
+            "embedding contains NaN/inf/null elements (whole-null vectors "
+            "are dropped upstream; a partially-null or non-finite vector is "
+            "corrupt input)"
         )
     R = np.rint(V)
     tr = np.trunc(V)
@@ -687,8 +691,18 @@ def ann_ivf(
     return _rank_topk(_score_candidates(cands), k)
 
 
+#: Max corpus rows for which the quantized vector table rides a broadcast
+#: into the pair-scoring joins (~536 B/row -> ~110 MB at the cap). Below it
+#: the 10^6-row candidate-pair stream is never shuffled for the attach; above
+#: it the joins fall back to shuffle joins (the vector table no longer fits
+#: every executor). The caller knows the corpus count (cached) — Catalyst
+#: cannot, because the quantize kernel hides the size estimate.
+SCORE_BROADCAST_MAX_ROWS = 200_000
+
+
 def _score_pairs(
-    pairs: DataFrame, q: DataFrame, threshold: float
+    pairs: DataFrame, q: DataFrame, threshold: float,
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """(vec_a, vec_b) id pairs → exact scored pairs >= threshold.
 
@@ -706,6 +720,8 @@ def _score_pairs(
     qb = q.select(
         F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("norm2").alias("nb")
     )
+    if broadcast_vectors:
+        qa, qb = F.broadcast(qa), F.broadcast(qb)
     attached = pairs.join(qa, "vec_a").join(qb, "vec_b")
     scored = attached.select(
         "vec_a",
@@ -933,6 +949,86 @@ def near_dup_pairs_lsh(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    # The corpus count is already memoized (banded_buckets' adaptive width
+    # just used it), so the path choice below is free and scale-adaptive.
+    if corpus_count(emb) <= SCORE_BROADCAST_MAX_ROWS:
+        # Small-corpus fast path: broadcast the quantized matrix and score
+        # candidates inside one Arrow kernel over the bucket tails, exactly
+        # like the all-pairs verifier but candidate-linear. The r5 shape
+        # paid three exchanges over the ~3.6M-pair stream at sf1 (pair
+        # groupBy dedup + two joins attaching 1 KB of arrays per pair);
+        # here the only per-pair bytes that move are the two ids INSIDE
+        # tail arrays, duplicates are scored (identical rows — exact math)
+        # and collapsed by one distinct over the tiny thresholded output.
+        if max_bucket_size is not None:
+            grouped = grouped.filter(F.size("docs") <= max_bucket_size)
+        tails = grouped.select(
+            F.col("docs"), F.posexplode("docs").alias("i", "doc_a")
+        ).select(
+            "doc_a",
+            F.slice(
+                F.col("docs"), F.col("i") + F.lit(2), F.size("docs")
+            ).alias("tail"),
+        ).filter(F.size("tail") > 0)
+        q = with_quantized(emb, vec_col)
+        pdf = q.toPandas()
+        if len(pdf) == 0:
+            return emb.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, dot_q long, cosine double"
+            )
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf["qv"].to_numpy())[order].astype(np.int64)
+        norms = pdf["norm2"].to_numpy()[order].astype(np.int64)
+        bc = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+        thr = float(threshold)
+
+        def score(batches):
+            b_ids, B, b_norms = bc.value
+            for batch in batches:
+                tl = batch["tail"]
+                if len(tl) == 0:
+                    continue
+                lens = np.fromiter(
+                    (len(t) for t in tl), dtype=np.int64, count=len(tl)
+                )
+                a = np.repeat(
+                    batch["doc_a"].to_numpy().astype(np.int64), lens
+                )
+                b = np.concatenate([np.asarray(t) for t in tl]).astype(
+                    np.int64
+                )
+                ai = np.searchsorted(b_ids, a)
+                bi = np.searchsorted(b_ids, b)
+                # row-wise exact int64 dot — identical math to _dot64_arrow
+                D = (B[ai] * B[bi]).sum(axis=1)
+                cos = D / np.sqrt(
+                    (b_norms[ai] * b_norms[bi]).astype(np.float64)
+                )
+                keep = cos >= thr
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": a[keep],
+                            "vec_b": b[keep],
+                            "dot_q": D[keep],
+                            "cosine": cos[keep],
+                        }
+                    )
+
+        # AQE coalesces the upstream bucket agg to 1-2 partitions (the tail
+        # rows are only a few MB), which would run this CPU-heavy kernel on
+        # 1-2 cores; pin the kernel stage to cluster parallelism — the
+        # exchange moves only the small tail arrays
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        scored = tails.repartition(par).mapInPandas(
+            score, schema="vec_a long, vec_b long, dot_q long, cosine double"
+        )
+        # cross-band duplicates carry bit-identical scores; one distinct
+        # over the post-threshold stream (tiny) replaces the r5 pre-score
+        # pair dedup exchange over every candidate
+        return scored.distinct()
     pairs = _expand_pairs(grouped, max_bucket_size).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )

@@ -335,7 +335,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- similarity
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _parallel(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    # no _parallel here: the similarity operators' per-row corpus work is a
+    # handful of numpy ops (quantize/codes), so spreading a small
+    # unsplittable scan buys less than the exchange costs (measured +0.2s
+    # per ann_* query at sf1); the pair-heavy stages are post-shuffle
+    # parallel already, and near_dup_pairs spreads its matmul explicitly
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

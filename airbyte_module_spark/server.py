@@ -178,13 +178,23 @@ if HAVE_FLIGHT:
             eng = self._engine(asset)
             schema = _arrow_schema(eng.read())  # metadata-only, no Spark job
             bucket_groups: list[list[int] | None] = [None]
+            version: int | None = None
             if hasattr(eng, "table"):  # lake-table asset: bucket-sliced
+                # pin ONE snapshot version into every endpoint ticket: each
+                # do_get resolves the ticket's version instead of the head,
+                # so a commit landing between slice reads cannot tear the
+                # multi-endpoint read — the union of slices equals the
+                # single-stream read of the advertised snapshot (the same
+                # race the HTTP path closes with X-Table-Version)
+                version = eng.table.current_version()
                 live = eng.table.live_buckets()
                 if live:
                     bucket_groups = [[b] for b in live]
             endpoints = []
             for group in bucket_groups:
                 payload: dict = {"asset_name": asset}
+                if version is not None:
+                    payload["version"] = version
                 if group is not None:
                     payload["buckets"] = group
                 endpoints.append(
@@ -215,16 +225,23 @@ if HAVE_FLIGHT:
                         f"asset {asset!r} does not serve incremental changes"
                     )
                 try:
+                    # a server-issued ticket pins `version`; use it as the
+                    # default upper bound so the delta read is snapshot-
+                    # consistent with the advertised FlightInfo
                     df = eng.changes(
                         int(payload["from_version"]),
-                        payload.get("to_version"),
+                        payload.get("to_version", payload.get("version")),
                     )
                 except (ValueError, FileNotFoundError) as e:
                     # range rewritten by maintenance / from-snapshot expired
                     raise fl.FlightServerError(str(e))
             else:
-                buckets = payload.get("buckets")
-                df = eng.read(buckets=buckets) if buckets is not None else eng.read()
+                kwargs = {
+                    k: payload[k]
+                    for k in ("buckets", "version")
+                    if payload.get(k) is not None
+                }
+                df = eng.read(**kwargs)
             return fl.GeneratorStream(_arrow_schema(df), _arrow_batches(df))
 
         # -------------------------------------------------------------- write

@@ -576,3 +576,16 @@ def test_verifier_blas_guard_and_chunking(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r.vec_a, r.vec_b) for r in near_dup_pairs(emb, 0.999).collect()}
     assert got >= {(i, i + 40) for i in range(40)}
+
+
+def test_inf_element_raises_not_silent_garbage():
+    """ADVICE r5: ±inf passes an isnan check, casts to INT64_MIN, and
+    abs(INT64_MIN) wraps negative — the magnitude guard would never fire.
+    The finiteness check must catch it as loudly as NaN."""
+    import pytest as _pytest
+
+    from airbyte_module_spark.operators.similarity import _quantize_np
+
+    for bad in (float("inf"), float("-inf")):
+        with _pytest.raises(ValueError, match="NaN/inf"):
+            _quantize_np([[bad] + [0.1] * 63])

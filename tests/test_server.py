@@ -552,3 +552,39 @@ def test_http_unknown_asset_404(asset):
         assert e.value.code == 404
     finally:
         server.stop()
+
+
+@pytest.mark.skipif(not HAVE_FLIGHT, reason="pyarrow.flight unavailable")
+def test_flight_endpoints_pinned_to_one_version(asset, spark):
+    """r6 (advisor finding): get_flight_info embeds the snapshot version in
+    every endpoint ticket and do_get reads THAT version — a commit landing
+    between slice reads can no longer tear the multi-endpoint union into a
+    multi-version read (the Flight analogue of the HTTP X-Table-Version
+    pin)."""
+    import pyarrow.flight as fl
+
+    from airbyte_module_spark.server import EngineFlightServer
+
+    with EngineFlightServer({"userdata": asset}) as server:
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        info = client.get_flight_info(fl.FlightDescriptor.for_command(b"userdata"))
+        pinned = {json.loads(ep.ticket.ticket.decode()).get("version")
+                  for ep in info.endpoints}
+        assert pinned == {asset.table.current_version()}
+        before = _rows(asset)
+        # read HALF the endpoints, then commit new data, then the rest:
+        # the union must still equal the snapshot advertised by the info
+        mid = max(1, len(info.endpoints) // 2)
+        got = [
+            tuple(r.values())
+            for ep in info.endpoints[:mid]
+            for r in client.do_get(ep.ticket).read_all().to_pylist()
+        ]
+        newdf = spark.createDataFrame([(99, "zed", 9.5)], schema=USER_SCHEMA)
+        asset.write(newdf, mode="append")
+        got += [
+            tuple(r.values())
+            for ep in info.endpoints[mid:]
+            for r in client.do_get(ep.ticket).read_all().to_pylist()
+        ]
+        assert sorted(got) == before, "torn multi-version read"
