@@ -87,18 +87,6 @@ def quantize(col) -> Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
 
 
-def int_dot(a, b, dim: int = PLANE_DIM) -> Column:
-    """Exact int64 dot product of two length-``dim`` long arrays, unrolled
-    over literal indices so the whole expression compiles into whole-stage
-    codegen (the ``aggregate(zip_with(...))`` formulation is interpreted in
-    Spark 4 and measured several times slower on the all-pairs hot path)."""
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    total = a[0] * b[0]
-    for i in range(1, dim):
-        total = total + a[i] * b[i]
-    return total
-
-
 def cosine_from_ints(dot, na, nb) -> Column:
     """cosine = dot / sqrt(na*nb) on exact ints — deterministic double."""
     return dot.cast("double") / F.sqrt((na * nb).cast("double"))
@@ -218,6 +206,77 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _pdf_to_quantized(
+    pdf, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side quantization of a collected (vec_id, vectors) frame:
+    (ids, Q, norms) sorted by vec_id, zero-norm rows dropped — the exact
+    :func:`with_quantized` semantics (dim/NaN checks raise identically via
+    :func:`_quantize_np`), minus the per-row Arrow round-trip. Used for the
+    small sets that end up in the driver anyway (broadcast matrices, query
+    sets, training samples): quantizing them through a distributed kernel
+    pays a full Python-stage hop per pass for math the driver does in one
+    vectorized call on the same collected rows (guide §4.1: control how
+    many columns cross the boundary — here none do)."""
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    Q = _quantize_np(pdf[vec_col].to_numpy())
+    norms = (Q * Q).sum(axis=1)
+    keep = norms > 0
+    ids, Q, norms = ids[keep], Q[keep], norms[keep]
+    order = np.argsort(ids)
+    return ids[order], Q[order], norms[order]
+
+
+def _collect_quantized(
+    emb: DataFrame, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ONE driver job collecting the raw (vec_id, vector) columns, then
+    :func:`_pdf_to_quantized`. Replaces ``with_quantized(emb).toPandas()``
+    on the broadcast paths: the old form ran the quantize kernel as a
+    distributed Python stage and shipped the int64 arrays back row by row
+    (~0.6s/pass at 20k rows, most of it Arrow struct<array> conversion);
+    the raw floats are smaller on the wire and the math is one numpy call."""
+    pdf = (
+        emb.filter(F.col(vec_col).isNotNull()).select("vec_id", vec_col).toPandas()
+    )
+    if len(pdf) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty((0, PLANE_DIM), np.int64),
+            np.empty(0, np.int64),
+        )
+    return _pdf_to_quantized(pdf, vec_col)
+
+
+def _srp_planes(
+    n_bands: int, rows_per_band: int, stride: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(planes matrix, bit weights) for SRP codes — shared by the kernel
+    and the driver-side form so both compute identical buckets."""
+    if stride is None:
+        stride = rows_per_band
+    assert stride >= rows_per_band
+    all_planes = plane_coeffs(n_bands * stride)
+    planes = np.array(
+        [all_planes[b * stride + r]
+         for b in range(n_bands) for r in range(rows_per_band)],
+        dtype=np.int64,
+    )
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+    return planes, weights
+
+
+def _srp_codes_np(
+    Q: np.ndarray, n_bands: int, rows_per_band: int, stride: int | None = None
+) -> np.ndarray:
+    """(n_rows, n_bands) SRP bucket codes — the kernel's exact int64 math
+    ((Q @ P.T) >= 0, bit-weighted sums) run driver-side on an
+    already-quantized matrix."""
+    planes, weights = _srp_planes(n_bands, rows_per_band, stride)
+    bits = (Q @ planes.T) >= 0
+    return (bits.reshape(len(Q), n_bands, rows_per_band) * weights).sum(axis=2)
+
+
 def _srp_codes_udf(n_bands: int, rows_per_band: int, stride: int | None = None):
     """Arrow-batched SRP signature kernel: array<long> qv → array of
     ``n_bands`` bucket codes, bit r of band b = (qv · plane_{b·stride+r}) >= 0.
@@ -237,16 +296,7 @@ def _srp_codes_udf(n_bands: int, rows_per_band: int, stride: int | None = None):
     throttled codegen compile per plan in this sandbox and risks falling
     back to interpreted eval; the kernel's math is identical
     ((Q @ P.T) >= 0, exact int64), so oracles are unaffected."""
-    if stride is None:
-        stride = rows_per_band
-    assert stride >= rows_per_band
-    all_planes = plane_coeffs(n_bands * stride)
-    planes = np.array(
-        [all_planes[b * stride + r]
-         for b in range(n_bands) for r in range(rows_per_band)],
-        dtype=np.int64,
-    )
-    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+    planes, weights = _srp_planes(n_bands, rows_per_band, stride)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def codes(qv: pd.Series) -> pd.Series:
@@ -260,46 +310,39 @@ def _srp_codes_udf(n_bands: int, rows_per_band: int, stride: int | None = None):
     return codes
 
 
-def with_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, qv, norm2, bucket): quantization + norm + LSH bucket in ONE
-    pass — signature computed once and reused by every consumer."""
-    codes = _srp_codes_udf(1, N_PLANES)
-    return with_quantized(emb, vec_col).withColumn(
-        "bucket", F.element_at(codes(F.col("qv")), 1)
-    )
-
-
 def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH signature per vector: (vec_id, bucket) with
-    bucket in [0, 2^N_PLANES)."""
-    return with_buckets(emb, vec_col).select("vec_id", "bucket")
+    bucket in [0, 2^N_PLANES).
 
+    ONE fused Arrow kernel (quantize + norm + SRP code in a single numpy
+    pass) instead of the former quantize-kernel → codes-kernel chain: the
+    chained form crossed the Python boundary twice per pass AND the
+    ``norm2 > 0`` filter pushdown cloned each kernel below the filter —
+    the executed plan carried SIX ArrowEvalPython nodes for one logical
+    pass (guide §4.4). The fused kernel is marked non-deterministic so the
+    optimizer may not duplicate it; no filter needs to cross it (the only
+    predicate above it is the zero-norm drop on its own output)."""
+    planes, weights = _srp_planes(1, N_PLANES)
 
-def _score_candidates(cands: DataFrame) -> DataFrame:
-    """(query candidates with qv/q_qv/norms) → (query_id, neighbor_id,
-    dot_q, cosine). The per-pair dot runs through the Arrow numpy kernel
-    (:func:`_dot64_arrow`) — the same discipline as :func:`_score_pairs`:
-    the unrolled 64-term Catalyst form measured ~22 µs/candidate on
-    ann_topk at sf0.1 (interpreted once folded out of codegen), the kernel
-    ~0.05 µs plus the Arrow column hop. The stacked projections keep the
-    dot evaluated ONCE per candidate (codegen does not CSE across
-    aliases, and CollapseProject declines to inline a non-cheap expr
-    referenced twice above)."""
-    dot = _dot64_arrow(F.col("q_qv"), F.col("qv"))
-    scored = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dot.alias("dot_q"),
-        "q_norm2",
-        "norm2",
+    @pandas_udf("norm2 long, bucket long")
+    def k(e: pd.Series) -> pd.DataFrame:
+        if len(e) == 0:
+            return pd.DataFrame(
+                {"norm2": pd.Series([], dtype="int64"),
+                 "bucket": pd.Series([], dtype="int64")}
+            )
+        Q = _quantize_np(e.to_numpy())
+        bits = (Q @ planes.T) >= 0
+        return pd.DataFrame(
+            {"norm2": (Q * Q).sum(axis=1), "bucket": (bits * weights).sum(axis=1)}
+        )
+
+    kernel = k.asNondeterministic()
+    out = emb.filter(F.col(vec_col).isNotNull()).select(
+        "vec_id", kernel(F.col(vec_col)).alias("_b")
     )
-    return scored.select(
-        "query_id",
-        "neighbor_id",
-        "dot_q",
-        cosine_from_ints(F.col("dot_q"), F.col("q_norm2"), F.col("norm2")).alias(
-            "cosine"
-        ),
+    return out.filter(F.col("_b.norm2") > 0).select(
+        "vec_id", F.col("_b.bucket").alias("bucket")
     )
 
 
@@ -400,34 +443,72 @@ def ann_lsh(
     on the other side; measured recall@5 goes from ~0.5 single-probe to
     ~0.9+). Same output shape as :func:`ann_brute_force`.
 
-    The join is bucket-equi (shuffle/broadcast hash, never nested-loop), so
-    candidate generation scales with N/2^planes per query per probe instead
-    of N."""
-    qb = with_buckets(emb, vec_col)
-    queries = qb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("norm2").alias("q_norm2"),
-        F.col("bucket").alias("q_bucket"),
-    )
+    Execution is MAP-SIDE (the :func:`ann_brute_force` shape): the (tiny)
+    quantized query matrix with its probe-bucket sets rides a broadcast
+    into ONE fused Arrow kernel that buckets each corpus batch, keeps the
+    rows landing in a probe bucket, and scores exactly those candidates
+    with one numpy int64 matmul. The former bucket-equi-join form was
+    candidate-linear too, but its plan chained two corpus-wide Python
+    kernels (quantize, codes), cloned them under filter pushdown (18
+    ArrowEvalPython nodes executed — guide §4.4), and paid a third Python
+    hop for the pair dot; one kernel does all of it in a single boundary
+    crossing. Candidates and scores are identical: each corpus vector
+    lives in exactly one bucket and probe buckets are distinct, so
+    membership-in-probe-set equals the old join condition row for row."""
+    spark = emb.sparkSession
+    out_schema = "query_id long, neighbor_id long, dot_q long, cosine double"
+    corpus = emb.filter(F.col(vec_col).isNotNull()).select("vec_id", vec_col)
+    qrows = corpus.filter(F.col("vec_id") < n_queries).collect()
+    planes, weights = _srp_planes(1, N_PLANES)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    if len(qrows):
+        QM = _quantize_np([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        q_norms = (QM * QM).sum(axis=1)
+        live = q_norms > 0  # zero-norm query: no bucket, no results
+        q_ids, QM, q_norms = q_ids[live], QM[live], q_norms[live]
+    if not len(q_ids):
+        return _rank_topk(spark.createDataFrame([], out_schema), k)
+    qbits = (QM @ planes.T) >= 0
+    qbuck = (qbits * weights).sum(axis=1)
     if multiprobe:
-        probes = F.array(
-            F.col("q_bucket"),
-            *[
-                F.col("q_bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                for p in range(N_PLANES)
-            ],
-        )
-        queries = queries.select(
-            "query_id", "q_qv", "q_norm2", F.explode(probes).alias("q_bucket")
-        )
-    # each corpus vector lives in exactly one bucket and probe buckets are
-    # distinct, so no candidate is generated twice — no dedup needed
-    cands = qb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    return _rank_topk(_score_candidates(cands), k)
+        flips = (1 << np.arange(N_PLANES, dtype=np.int64))[None, :]
+        probes = np.concatenate([qbuck[:, None], qbuck[:, None] ^ flips], axis=1)
+    else:
+        probes = qbuck[:, None]
+    bc = spark.sparkContext.broadcast((q_ids, QM, q_norms, probes))
+
+    def score(batches):
+        b_qids, b_QM, b_qnorms, b_probes = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["vec_id"].to_numpy().astype(np.int64)
+            C = _quantize_np(b[vec_col].to_numpy())
+            norms = (C * C).sum(axis=1)
+            buck = (((C @ planes.T) >= 0) * weights).sum(axis=1)
+            D = b_QM @ C.T  # exact int64, (n_queries, batch)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = D / np.sqrt(
+                    (b_qnorms[:, None] * norms[None, :]).astype(np.float64)
+                )
+            for qi in range(len(b_qids)):
+                m = (
+                    (norms > 0)
+                    & (ids != b_qids[qi])
+                    & np.isin(buck, b_probes[qi])
+                )
+                sel = np.nonzero(m)[0]
+                if len(sel):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": b_qids[qi],
+                            "neighbor_id": ids[sel],
+                            "dot_q": D[qi, sel],
+                            "cosine": cos[qi, sel],
+                        }
+                    )
+
+    return _rank_topk(corpus.mapInPandas(score, schema=out_schema), k)
 
 
 N_IVF_CELLS = 64
@@ -536,13 +617,20 @@ def _train_centroids_np(
     tests/test_operators.py::test_ann_recall_gate)."""
     total = corpus_count(emb)
     m = max(1, -(-total // MAX_TRAIN_ROWS))  # ceil
-    samp = with_quantized(emb.filter(F.col("vec_id") % m == 0), vec_col)
-    rows = sorted(samp.collect(), key=lambda r: r["vec_id"])
-    if not rows:
+    # ONE collect of the raw sample rows; quantization runs driver-side on
+    # the same rows (_pdf_to_quantized == with_quantized semantics, minus a
+    # distributed Python stage per training call — guide §4.1)
+    spdf = (
+        emb.filter((F.col("vec_id") % m == 0) & F.col(vec_col).isNotNull())
+        .select("vec_id", vec_col)
+        .toPandas()
+    )
+    if len(spdf) == 0:
         return None
-    S = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
-    sn = np.array([r["norm2"] for r in rows], dtype=np.int64)
-    k = min(n_cells, len(rows))
+    s_ids, S, sn = _pdf_to_quantized(spdf, vec_col)
+    if len(s_ids) == 0:
+        return None
+    k = min(n_cells, len(s_ids))
     C = S[:k].copy()
     cn = sn[:k].copy()
     for _ in range(KMEANS_ITERS):
@@ -577,59 +665,81 @@ def _train_centroids(emb: DataFrame, n_cells: int, vec_col: str):
     )
 
 
-def _centroids_df(spark, trained) -> DataFrame:
-    """Trained centroids as a (tiny) DataFrame for probe-ranking joins."""
-    c_ids, CM, cn = trained
-    rows = [
-        (int(c_ids[j]), [int(x) for x in CM[j]], int(cn[j]))
-        for j in range(len(c_ids))
-    ]
-    return spark.createDataFrame(rows, "cell long, cv array<long>, cn long")
-
-
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = N_IVF_CELLS,
     vec_col: str = "embedding",
     _trained=None,
+    cells_only: bool = False,
 ) -> DataFrame:
     """IVF coarse assignment: (vec_id, qv, norm2, cell) with cell = argmax
     cosine(v, centroid), tiebreak lowest cell id. Centroids come from the
     trained quantizer (:func:`_train_centroids_np` — driver-side Lloyd over
     a capped sample; pass ``_trained`` to reuse an already-trained set).
+    ``cells_only=True`` returns just (vec_id, cell) and skips shipping the
+    int64 vector arrays back across the Arrow boundary (the struct<array>
+    column was most of the kernel's per-row cost; the cells query never
+    reads it).
 
     Plan shape: the (tiny, deterministic) centroid matrix is broadcast into
-    ONE Arrow kernel that computes each batch's N×n_cells cosine block as a
-    single numpy matmul and takes the row argmax — no crossJoin, no
-    N×n_cells intermediate rows, no aggregation exchange at all (the r1-r3
-    form broadcast-joined then map-side-combined an argmax aggregate;
-    correct shape, but it evaluated the 64-term dot expression interpreted
-    N×n_cells times — the bulk of ann_topk_ivf's cost). argmax takes the
-    FIRST maximum and centroid rows are ordered by cell id, so the tiebreak
-    is identical; cosine doubles are the same IEEE ops as the expression
-    form (oracle-pinned)."""
-    q = with_quantized(emb, vec_col)
+    ONE fused Arrow kernel — quantize, norm and argmax-cosine assignment in
+    a single numpy pass per batch. r5 chained a quantize kernel into an
+    assign kernel (two Python boundary crossings per pass), and the
+    ``norm2 > 0`` filter pushdown cloned them below the filter (6
+    ArrowEvalPython nodes executed for one logical pass — guide §4.4); the
+    fused kernel is non-deterministic so the optimizer may not duplicate
+    it. argmax takes the FIRST maximum and centroid rows are ordered by
+    cell id, so the tiebreak is identical; cosine doubles are the same
+    IEEE ops as the expression form (oracle-pinned). Zero-norm rows are
+    assigned a placeholder inside the kernel and dropped by the norm2
+    filter, exactly like the former with_quantized chain."""
     trained = _trained if _trained is not None else _train_centroids(
         emb, n_cells, vec_col
     )
     if trained is None:
-        return q.withColumn("cell", F.lit(None).cast("long"))
+        q = with_quantized(emb, vec_col)
+        out = q.withColumn("cell", F.lit(None).cast("long"))
+        return out.select("vec_id", "cell") if cells_only else out
     c_ids, CM, c_norms = trained
     bc = emb.sparkSession.sparkContext.broadcast((c_ids, CM, c_norms))
+    fields = "norm2 long, cell long" if cells_only else (
+        "qv array<long>, norm2 long, cell long"
+    )
 
-    @pandas_udf(T.LongType())
-    def assign(qv: pd.Series, norm2: pd.Series) -> pd.Series:
+    @pandas_udf(fields)
+    def assign(e: pd.Series) -> pd.DataFrame:
         cc_ids, CCM, cc_norms = bc.value
-        if len(qv) == 0:
-            return pd.Series([], dtype="int64")
-        Q = np.stack(qv.to_numpy())
-        n2 = norm2.to_numpy().astype(np.int64)
+        if len(e) == 0:
+            cols = {"norm2": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int64")}
+            if not cells_only:
+                cols = {"qv": pd.Series([], dtype=object), **cols}
+            return pd.DataFrame(cols)
+        Q = _quantize_np(e.to_numpy())
+        n2 = (Q * Q).sum(axis=1)
         D = Q @ CCM.T  # exact int64
-        cos = D / np.sqrt((n2[:, None] * cc_norms[None, :]).astype(np.float64))
-        return pd.Series(cc_ids[np.argmax(cos, axis=1)])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = D / np.sqrt((n2[:, None] * cc_norms[None, :]).astype(np.float64))
+        # zero-norm rows have NaN cosine everywhere; give them cell 0 — the
+        # norm2 > 0 filter drops them before anything reads the value
+        cell = cc_ids[np.argmax(np.nan_to_num(cos, nan=-np.inf), axis=1)]
+        cell = np.where(n2 > 0, cell, 0)
+        cols = {"norm2": n2, "cell": cell}
+        if not cells_only:
+            cols = {"qv": list(Q), **cols}
+        return pd.DataFrame(cols)
 
-    return q.select(
-        "vec_id", "qv", "norm2", assign(F.col("qv"), F.col("norm2")).alias("cell")
+    kernel = assign.asNondeterministic()
+    out = emb.filter(F.col(vec_col).isNotNull()).select(
+        "vec_id", kernel(F.col(vec_col)).alias("_a")
+    ).filter(F.col("_a.norm2") > 0)
+    if cells_only:
+        return out.select("vec_id", F.col("_a.cell").alias("cell"))
+    return out.select(
+        "vec_id",
+        F.col("_a.qv").alias("qv"),
+        F.col("_a.norm2").alias("norm2"),
+        F.col("_a.cell").alias("cell"),
     )
 
 
@@ -651,44 +761,82 @@ def ann_ivf(
     Hamming-1 multiprobe at 3.5% scanned: hyperplane LSH collapses when true
     neighbors sit at moderate cosine (this fixture's top-5 live at
     0.27-0.39), while IVF cells follow the data's own geometry. Same output
-    shape as :func:`ann_brute_force`."""
+    shape as :func:`ann_brute_force`.
+
+    Execution (r6): MAP-SIDE, one fused Arrow kernel. Queries are collected
+    once (tiny pushed-down scan) and probe cells ranked driver-side with
+    the identical (cosine desc, cell asc) order the former window used
+    (np.lexsort on exact doubles); the kernel gets (query matrix, per-query
+    probe-cell masks, centroid matrix) via broadcast, assigns each corpus
+    batch to cells with one matmul-argmax, and scores exactly the rows
+    whose cell is probed by each query. The r5 form ran assignment and
+    scoring as a broadcast JOIN over a two-kernel quantize chain — 14
+    executed ArrowEvalPython nodes (filter-pushdown cloning, guide §4.4)
+    plus a probe-ranking window; candidates and scores here are
+    row-identical (each vector lives in exactly one cell; probe cells are
+    distinct per query)."""
+    out_schema = "query_id long, neighbor_id long, dot_q long, cosine double"
+    spark = emb.sparkSession
     trained = _train_centroids(emb, n_cells, vec_col)
-    assigned = ivf_assign(emb, n_cells, vec_col, _trained=trained)
-    q = with_quantized(emb, vec_col)
     if trained is None:
-        return _rank_topk(
-            emb.sparkSession.createDataFrame(
-                [], "query_id long, neighbor_id long, dot_q long, cosine double"
-            ),
-            k,
-        )
-    cents = _centroids_df(emb.sparkSession, trained)
-    queries = q.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("norm2").alias("q_norm2"),
+        return _rank_topk(spark.createDataFrame([], out_schema), k)
+    c_ids, CM, c_norms = trained
+    corpus = emb.filter(F.col(vec_col).isNotNull()).select("vec_id", vec_col)
+    qrows = corpus.filter(F.col("vec_id") < n_queries).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    if len(qrows):
+        QM = _quantize_np([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        q_norms = (QM * QM).sum(axis=1)
+        live = q_norms > 0  # zero-norm query: no cosine direction, no rows
+        q_ids, QM, q_norms = q_ids[live], QM[live], q_norms[live]
+    if not len(q_ids):
+        return _rank_topk(spark.createDataFrame([], out_schema), k)
+    # probe selection: per query the n_probes best cells by (cosine desc,
+    # cell asc) — np.lexsort reproduces the former row_number window's
+    # order on the same exact doubles (centroid norms are > 0 by
+    # construction, so no NaN enters the sort)
+    qcos = (QM @ CM.T) / np.sqrt(
+        np.outer(q_norms, c_norms).astype(np.float64)
     )
-    qsim = cosine_from_ints(
-        int_dot(F.col("q_qv"), F.col("cv")), F.col("q_norm2"), F.col("cn")
-    )
-    probe_rank = Window.partitionBy("query_id").orderBy(
-        F.col("qsim").desc(), F.col("cell").asc()
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select("query_id", "q_qv", "q_norm2", "cell", qsim.alias("qsim"))
-        .withColumn("_pr", F.row_number().over(probe_rank))
-        .filter(F.col("_pr") <= n_probes)
-        .drop("_pr", "qsim")
-        .withColumnRenamed("cell", "q_cell")
-    )
-    # each corpus vector lives in exactly one cell and probe cells are
-    # distinct per query — no candidate duplication
-    cands = assigned.join(
-        F.broadcast(probes),
-        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    return _rank_topk(_score_candidates(cands), k)
+    probe_mask = np.zeros((len(q_ids), len(c_ids)), dtype=bool)
+    for qi in range(len(q_ids)):
+        top = np.lexsort((c_ids, -qcos[qi]))[:n_probes]
+        probe_mask[qi, top] = True
+    bc = spark.sparkContext.broadcast((q_ids, QM, q_norms, probe_mask, CM, c_norms))
+
+    def score(batches):
+        b_qids, b_QM, b_qnorms, b_mask, b_CM, b_cnorms = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["vec_id"].to_numpy().astype(np.int64)
+            C = _quantize_np(b[vec_col].to_numpy())
+            n2 = (C * C).sum(axis=1)
+            Dc = C @ b_CM.T  # exact int64, (batch, n_cells)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ccos = Dc / np.sqrt(
+                    (n2[:, None] * b_cnorms[None, :]).astype(np.float64)
+                )
+            cell = np.argmax(np.nan_to_num(ccos, nan=-np.inf), axis=1)
+            D = b_QM @ C.T  # exact int64, (n_queries, batch)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = D / np.sqrt(
+                    (b_qnorms[:, None] * n2[None, :]).astype(np.float64)
+                )
+            for qi in range(len(b_qids)):
+                m = (n2 > 0) & b_mask[qi][cell] & (ids != b_qids[qi])
+                sel = np.nonzero(m)[0]
+                if len(sel):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": b_qids[qi],
+                            "neighbor_id": ids[sel],
+                            "dot_q": D[qi, sel],
+                            "cosine": cos[qi, sel],
+                        }
+                    )
+
+    return _rank_topk(corpus.mapInPandas(score, schema=out_schema), k)
 
 
 #: Max corpus rows for which the quantized vector table rides a broadcast
@@ -772,32 +920,36 @@ def near_dup_pairs(
     import pandas as pd
 
     PAIR_SCHEMA = "vec_a long, vec_b long, dot_q long, cosine double"
+    spark = emb.sparkSession
     if max_rows:
         n = corpus_count(emb)
         if n > max_rows:
             m = -(-n // max_rows)  # ceil
             emb = emb.filter(F.col("vec_id") % m == 0)
-    q = with_quantized(emb, vec_col)
-    pdf = q.toPandas()
-    if len(pdf) == 0:
-        # np.stack needs >= 1 array; an empty corpus has no pairs (the
-        # pre-matmul join form returned an empty DataFrame here too)
-        return emb.sparkSession.createDataFrame([], PAIR_SCHEMA)
-    ids_all = pdf["vec_id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids_all)
-    ids_all = ids_all[order]
-    M_all = np.stack(pdf["qv"].to_numpy())[order].astype(np.int64)
-    norms_all = pdf["norm2"].to_numpy()[order].astype(np.int64)
-    bc = q.sparkSession.sparkContext.broadcast((ids_all, M_all, norms_all))
+    # ONE collect + driver quantize builds the broadcast matrix
+    # (_collect_quantized); the distributed side then carries ONLY vec_id —
+    # each task re-derives its rows' vectors from the broadcast by binary
+    # search instead of shipping a second quantize-kernel pass through the
+    # plan (r5 ran the Arrow quantize stage twice per query: once under
+    # toPandas, once under the scoring job — guide §4.1, fewer boundary
+    # crossings; §2.3, shuffle keys instead of payloads).
+    ids_all, M_all, norms_all = _collect_quantized(emb, vec_col)
+    if len(ids_all) == 0:
+        # an empty corpus has no pairs (the pre-matmul join form returned
+        # an empty DataFrame here too)
+        return spark.createDataFrame([], PAIR_SCHEMA)
+    bc = spark.sparkContext.broadcast((ids_all, M_all, norms_all))
     thr = float(threshold)
     # Spread the row side across the cluster: the corpus usually arrives as
     # ONE parquet file -> one partition, which would run the whole O(N²)
     # matmul on a single core (measured: the entire sf1 verifier cost was
     # one task). ~512 rows per task gives every core a block while keeping
     # tasks coarse enough to amortize the Python worker round-trip; the
-    # shuffle moved is only the N×64 quantized rows (~10 MB at the cap).
-    par = q.sparkSession.sparkContext.defaultParallelism
-    q = q.repartition(max(1, min(par, -(-len(pdf) // 512))))
+    # shuffle moved is only the 8-byte ids (the vectors ride the broadcast).
+    par = spark.sparkContext.defaultParallelism
+    side = emb.select("vec_id").repartition(
+        max(1, min(par, -(-len(ids_all) // 512)))
+    )
 
     def score(batches):
         b_ids, B, b_norms = bc.value
@@ -819,13 +971,21 @@ def near_dup_pairs(
         for batch in batches:
             if len(batch) == 0:
                 continue
-            a_ids = batch["vec_id"].to_numpy().astype(np.int64)
-            A = np.stack(batch["qv"].to_numpy()).astype(np.int64)
-            a_norms = batch["norm2"].to_numpy().astype(np.int64)
+            raw_ids = batch["vec_id"].to_numpy().astype(np.int64)
+            # rows not in the broadcast (null embedding, zero norm, or the
+            # id simply absent) are masked out — identical to the former
+            # with_quantized drop
+            pos = np.searchsorted(b_ids, raw_ids).clip(0, len(b_ids) - 1)
+            found = b_ids[pos] == raw_ids
+            a_ids = raw_ids[found]
+            if not len(a_ids):
+                continue
+            idx = pos[found]
+            a_norms = b_norms[idx]
             # exactness of the float64 dot is guaranteed by _quantize_np's
-            # magnitude guard (dim*q² <= 2^31 << 2^53) — every qv here has
-            # passed through it
-            Af = A.astype(np.float64)
+            # magnitude guard (dim*q² <= 2^31 << 2^53) — every row of the
+            # broadcast matrix has passed through it
+            Af = Bf[idx]
             out_a, out_b, out_d, out_c = [], [], [], []
             for lo in range(0, len(b_ids), B_CHUNK):
                 hi = lo + B_CHUNK
@@ -852,7 +1012,7 @@ def near_dup_pairs(
                     }
                 )
 
-    return q.mapInPandas(score, schema=PAIR_SCHEMA)
+    return side.mapInPandas(score, schema=PAIR_SCHEMA)
 
 
 N_NEARDUP_BANDS = 4
@@ -941,25 +1101,46 @@ def near_dup_pairs_lsh(
 
     if max_bucket_size is None:
         max_bucket_size = MAX_GROUP_SIZE
-    qb = banded_buckets(emb, vec_col).select(
-        F.col("vec_id").alias("doc_id"), "band", "bucket"
-    )
-    grouped = (
-        qb.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
-    # The corpus count is already memoized (banded_buckets' adaptive width
-    # just used it), so the path choice below is free and scale-adaptive.
-    if corpus_count(emb) <= SCORE_BROADCAST_MAX_ROWS:
-        # Small-corpus fast path: broadcast the quantized matrix and score
-        # candidates inside one Arrow kernel over the bucket tails, exactly
-        # like the all-pairs verifier but candidate-linear. The r5 shape
-        # paid three exchanges over the ~3.6M-pair stream at sf1 (pair
-        # groupBy dedup + two joins attaching 1 KB of arrays per pair);
-        # here the only per-pair bytes that move are the two ids INSIDE
-        # tail arrays, duplicates are scored (identical rows — exact math)
-        # and collapsed by one distinct over the tiny thresholded output.
+    spark = emb.sparkSession
+    n_corpus = corpus_count(emb)  # memoized per corpus
+    if n_corpus <= SCORE_BROADCAST_MAX_ROWS:
+        # Small-corpus fast path: ONE collect builds the quantized matrix
+        # AND the banded SRP codes driver-side (identical numpy math to the
+        # kernel — _srp_codes_np); the (doc_id, band, bucket) rows re-enter
+        # the plan through an Arrow createDataFrame, group into buckets,
+        # and candidates are scored inside one Arrow kernel over the bucket
+        # tails against the broadcast matrix. The r5 shape re-ran the
+        # quantize+codes kernel chain per consuming job (toPandas + final
+        # collect) with filter-pushdown cloning on top — 18 executed
+        # ArrowEvalPython corpus passes for one query (guide §4.4); now the
+        # corpus crosses the Python boundary once in the driver collect and
+        # once in the scoring kernel, and the only per-pair bytes that move
+        # are the two ids inside tail arrays. Duplicate cross-band
+        # candidates are scored (identical rows — exact math) and collapsed
+        # by one distinct over the tiny thresholded output, as before.
+        ids, M, norms = _collect_quantized(emb, vec_col)
+        if len(ids) == 0:
+            return spark.createDataFrame(
+                [], "vec_a long, vec_b long, dot_q long, cosine double"
+            )
+        r = adaptive_rows_per_band(n_corpus)
+        codes = _srp_codes_np(M, N_NEARDUP_BANDS, r, stride=NEARDUP_R_MAX)
+        bdf = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, N_NEARDUP_BANDS),
+                    "band": np.tile(
+                        np.arange(N_NEARDUP_BANDS, dtype=np.int64), len(ids)
+                    ),
+                    "bucket": codes.reshape(-1),
+                }
+            )
+        )
+        grouped = (
+            bdf.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+            .filter(F.size("docs") > 1)
+        )
         if max_bucket_size is not None:
             grouped = grouped.filter(F.size("docs") <= max_bucket_size)
         tails = grouped.select(
@@ -970,18 +1151,7 @@ def near_dup_pairs_lsh(
                 F.col("docs"), F.col("i") + F.lit(2), F.size("docs")
             ).alias("tail"),
         ).filter(F.size("tail") > 0)
-        q = with_quantized(emb, vec_col)
-        pdf = q.toPandas()
-        if len(pdf) == 0:
-            return emb.sparkSession.createDataFrame(
-                [], "vec_a long, vec_b long, dot_q long, cosine double"
-            )
-        ids = pdf["vec_id"].to_numpy().astype(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = np.stack(pdf["qv"].to_numpy())[order].astype(np.int64)
-        norms = pdf["norm2"].to_numpy()[order].astype(np.int64)
-        bc = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+        bc = spark.sparkContext.broadcast((ids, M, norms))
         thr = float(threshold)
 
         def score(batches):
@@ -1029,6 +1199,17 @@ def near_dup_pairs_lsh(
         # over the post-threshold stream (tiny) replaces the r5 pre-score
         # pair dedup exchange over every candidate
         return scored.distinct()
+    # Big-corpus path: the quantized vector table no longer fits every
+    # executor — candidates come from the distributed banded-bucket groupBy
+    # and vectors attach by id through shuffle joins (r5 shape, unchanged).
+    qb = banded_buckets(emb, vec_col).select(
+        F.col("vec_id").alias("doc_id"), "band", "bucket"
+    )
+    grouped = (
+        qb.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
     pairs = _expand_pairs(grouped, max_bucket_size).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )

@@ -400,7 +400,9 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64 deterministic centroids)."""
     from airbyte_module_spark.operators.similarity import ivf_assign
 
-    return ivf_assign(_embeddings(spark, sf_dir)).select("vec_id", "cell")
+    return ivf_assign(_embeddings(spark, sf_dir), cells_only=True).select(
+        "vec_id", "cell"
+    )
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
