@@ -23,8 +23,13 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from airbyte_module_spark.operators.text import hash64, word_shingles
 
@@ -79,28 +84,68 @@ def minhash_signature(col, n_hashes: int = N_MINHASHES) -> list:
 def with_minhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """doc_id + MinHash signature columns over word n-gram shingles.
 
-    Explode + hash-aggregate formulation: shingles explode to rows, ONE
-    sha256 + hex-conversion per shingle produces the 32-bit base hash in
-    its own projection (stacked select — CollapseProject declines to inline
-    a non-cheap expression referenced 16 times above, so the digest is
-    computed once), the 16 affine transforms are trivial codegen'd integer
-    arithmetic, and the signature is a 16-way min groupBy(doc_id). The one
-    shuffle is keyed by doc_id (uniform). Docs with no shingles (< n
-    tokens) vanish at the explode, mirroring the null-signature filter of
-    the array form."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col(text_col), n=n)).alias("_s")
-    )
-    base = sh.select("doc_id", _base_hash(F.col("_s")).alias("_h"))
-    slices = base.select(
-        "doc_id",
-        *[
-            ((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"_h{j}")
-            for j, (a, b) in enumerate(minhash_coeffs())
-        ],
-    )
-    return slices.groupBy("doc_id").agg(
-        *[F.min(f"_h{j}").alias(f"m{j}") for j in range(N_MINHASHES)]
+    ONE Arrow kernel per partition computes the whole signature — shingle
+    join, sha256 base hash, 16 affine mins — with NO shuffle at all (the
+    signature is a per-document value; the r5 explode + 16-way min groupBy
+    moved 7.4M shingle rows through an exchange at sf1 to compute it, and
+    the shingle arrays themselves came from an interpreted zip_with
+    evaluated per element). Tokenization stays in the JVM (``tokens`` —
+    Java regex ``\\s+`` semantics, shared with every other operator and the
+    SQL oracle); the kernel only joins adjacent tokens with a literal
+    space, exactly ``word_shingles``'s concat, so no Python regex ever
+    touches the text. The base hash is hashlib sha256 over the UTF-8
+    shingle — bit-identical to ``sha2(s, 256)`` — memoized per task
+    (boilerplate shingles repeat across documents), and the affine
+    transforms are one numpy int64 op per document (a*h < 2^63: exact).
+    Docs with < n tokens (or null text) yield null signatures and are
+    dropped, mirroring the r1-r5 explode semantics. The kernel is
+    non-deterministic so the null-drop filter is not pushed below it
+    (which would clone the whole kernel — guide §4.4)."""
+    from airbyte_module_spark.operators.text import tokens
+
+    coeffs = minhash_coeffs()
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    fields = ", ".join(f"m{j} long" for j in range(N_MINHASHES))
+
+    @pandas_udf(fields)
+    def mh(tok_col: pd.Series) -> pd.DataFrame:
+        out = np.zeros((len(tok_col), N_MINHASHES), dtype=np.int64)
+        mask = np.ones(len(tok_col), dtype=bool)  # True = null row
+        memo: dict[str, int] = {}
+        for i, tk in enumerate(tok_col):
+            if tk is None or len(tk) < n:
+                continue
+            seen = set()
+            bases = []
+            for j in range(len(tk) - (n - 1)):
+                s = " ".join(tk[j : j + n])
+                if s in seen:
+                    continue
+                seen.add(s)
+                h = memo.get(s)
+                if h is None:
+                    h = int(
+                        hashlib.sha256(s.encode("utf-8")).hexdigest()[:8], 16
+                    )
+                    memo[s] = h
+                bases.append(h)
+            hb = np.array(bases, dtype=np.int64)
+            out[i] = ((hb[:, None] * A[None, :] + B[None, :]) % MINHASH_PRIME).min(
+                axis=0
+            )
+            mask[i] = False
+        return pd.DataFrame(
+            {
+                f"m{j}": pd.arrays.IntegerArray(out[:, j], mask.copy())
+                for j in range(N_MINHASHES)
+            }
+        )
+
+    kernel = mh.asNondeterministic()
+    sig = docs.select("doc_id", kernel(tokens(F.col(text_col))).alias("_m"))
+    return sig.filter(F.col("_m.m0").isNotNull()).select(
+        "doc_id", *[F.col(f"_m.m{j}").alias(f"m{j}") for j in range(N_MINHASHES)]
     )
 
 
@@ -206,31 +251,45 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bit b of the fingerprint = 1 iff sum over tokens of (+1 if bit b of
     hash64(token) set else -1) >= 0. Documents within small Hamming distance
     are near-dups; identical fingerprints bucket trivially by groupBy.
-    One explode + one groupBy(doc_id) with 32 conditional sums — a single
-    shuffle keyed by doc_id (uniform)."""
+
+    ONE Arrow kernel per partition computes the fingerprint from the
+    JVM-tokenized distinct-token array — NO shuffle (the fingerprint is a
+    per-document value; the r5 explode + 32-conditional-sum groupBy moved
+    1.3M token rows through an exchange at sf1 to compute it). Tokenization
+    and distinct stay in the JVM (Java regex semantics, oracle-shared); the
+    kernel hashes each token with hashlib sha256 (bit-identical to
+    ``hash64``'s sha2 prefix, memoized per task — tokens repeat heavily
+    across documents) and folds the 32 ±1 bit sums in one numpy pass."""
     from airbyte_module_spark.operators.text import tokens
 
-    ex = docs.filter(F.length(text_col) > 0).select(
+    shifts = np.arange(32, dtype=np.int64)
+    weights = (np.int64(1) << shifts).astype(np.int64)
+
+    @pandas_udf(T.LongType())
+    def sh32(tok_col: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_col), dtype=np.int64)
+        memo: dict[str, int] = {}
+        for i, tk in enumerate(tok_col):
+            hs = []
+            for t in tk:
+                h = memo.get(t)
+                if h is None:
+                    h = int(
+                        hashlib.sha256(t.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    memo[t] = h
+                hs.append(h)
+            H = np.array(hs, dtype=np.int64)
+            bits = (H[:, None] >> shifts[None, :]) & 1  # (tokens, 32)
+            s = (2 * bits - 1).sum(axis=0)
+            out[i] = (weights * (s >= 0)).sum()
+        return pd.Series(out)
+
+    base = docs.filter(F.length(text_col) > 0)
+    return base.select(
         "doc_id",
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        sh32(F.array_distinct(tokens(F.col(text_col)))).alias("simhash"),
     )
-    ex = ex.select("doc_id", hash64(F.col("tok")).alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    g = ex.groupBy("doc_id").agg(*sums)
-    fp = None
-    for b in range(32):
-        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp + bit
-    return g.select("doc_id", fp.alias("simhash"))
 
 
 def shingle_postings(
