@@ -592,6 +592,10 @@ def schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     and render it in engine-neutral type names. The oracle reads the same
     catalog from DuckDB's information_schema — matching output proves the
     discovery is faithful, like the reference's catalog-vs-expected diff."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     from pyspark.sql import types as T
 
     def type_name(dt: T.DataType) -> str:
@@ -612,14 +616,63 @@ def schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             return f"DECIMAL({dt.precision},{dt.scale})"
         return mapping[type(dt)]
 
+    def arrow_type_name(t: "pa.DataType") -> str:
+        # the engine-neutral rendering of the same parquet footer types the
+        # Spark reader maps (timestamps collapse to TIMESTAMP either way,
+        # so the isAdjustedToUTC split cannot diverge)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return arrow_type_name(t.value_type) + "[]"
+        if pa.types.is_decimal(t):
+            return f"DECIMAL({t.precision},{t.scale})"
+        if pa.types.is_timestamp(t):
+            return "TIMESTAMP"
+        if pa.types.is_int64(t):
+            return "BIGINT"
+        if pa.types.is_int32(t):
+            return "INTEGER"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "VARCHAR"
+        if pa.types.is_float64(t):
+            return "DOUBLE"
+        if pa.types.is_float32(t):
+            return "FLOAT"
+        if pa.types.is_boolean(t):
+            return "BOOLEAN"
+        if pa.types.is_date(t):
+            return "DATE"
+        raise KeyError(str(t))
+
     tables = [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ]
     rows = []
     for t in tables:
-        for i, f_ in enumerate(spark.read.parquet(f"{sf_dir}/{t}.parquet").schema.fields):
-            rows.append((t, f_.name, type_name(f_.dataType), i + 1))
+        path = f"{sf_dir}/{t}.parquet"
+        # Footer-only metadata read via pyarrow (~10x cheaper than spinning
+        # up a Spark relation per table — this loop was ~1s of pure driver
+        # serial time, guide §5 "the driver should do almost no data work").
+        # A directory-shaped table or an exotic footer type falls back to
+        # the Spark reader for that table, whose mapping is authoritative.
+        try:
+            if _os.path.isdir(path):
+                part = sorted(
+                    f for f in _os.listdir(path) if f.endswith(".parquet")
+                )[0]
+                sch = pq.read_schema(_os.path.join(path, part))
+            else:
+                sch = pq.read_schema(path)
+            rows.extend(
+                (t, f_.name, arrow_type_name(f_.type), i + 1)
+                for i, f_ in enumerate(sch)
+            )
+        except (KeyError, IndexError, OSError):
+            rows.extend(
+                (t, f_.name, type_name(f_.dataType), i + 1)
+                for i, f_ in enumerate(
+                    spark.read.parquet(path).schema.fields
+                )
+            )
     return spark.createDataFrame(
         rows, "table_name string, column_name string, data_type string, ordinal bigint"
     )

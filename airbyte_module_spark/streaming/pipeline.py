@@ -77,6 +77,10 @@ class CdcPipeline:
         # serial-fraction profile behind the N→4N scaling evidence
         # (scripts/scaling_bench.py --profile reads this)
         self.timings: dict[str, float] = {}
+        # accumulated per-batch profiles + streaming progress (reset by
+        # replay_stream) — the multibatch overhead attribution reads these
+        self.batch_profiles: list[dict] = []
+        self.stream_progress: list[dict] = []
 
     def _post_commit(self, version: int | None) -> None:
         """After a durable commit: fire the user hook, then scheduled
@@ -257,20 +261,32 @@ class CdcPipeline:
         # documented decision, not an inherited default)
         grouped.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            lineage_obj = None
             if self.auto_evolve:
                 t0 = time.time()
-                observed = [
-                    r[0]
-                    for r in grouped.select(
-                        F.explode(
-                            F.json_object_keys(
-                                F.get_json_object(
-                                    F.col("_w.value"), "$.record.data"
+                if self.collect_lineage:
+                    # probe + lineage in ONE driver job: the evolution
+                    # probe's distinct key names ride the lineage
+                    # aggregation over the cached per-key winners (see
+                    # lineage_from_grouped) — at tail cadence the fixed
+                    # per-job cost dominated both when run separately
+                    lineage_obj, observed = lineage_from_grouped(
+                        grouped, batch_id, checkpoint_id,
+                        with_observed_keys=True,
+                    )
+                else:
+                    observed = [
+                        r[0]
+                        for r in grouped.select(
+                            F.explode(
+                                F.json_object_keys(
+                                    F.get_json_object(
+                                        F.col("_w.value"), "$.record.data"
+                                    )
                                 )
-                            )
-                        ).alias("k")
-                    ).distinct().collect()
-                ]
+                            ).alias("k")
+                        ).distinct().collect()
+                    ]
                 tm["probe_collect"] = round(time.time() - t0, 3)
                 known = {f.name for f in self.data_schema().fields}
                 new = sorted(k for k in observed if k not in known)
@@ -281,9 +297,11 @@ class CdcPipeline:
             lineage = None
             if self.collect_lineage:
                 t0 = time.time()
-                lineage = lineage_from_grouped(
-                    grouped, batch_id, checkpoint_id
-                ).to_dict()
+                if lineage_obj is None:
+                    lineage_obj = lineage_from_grouped(
+                        grouped, batch_id, checkpoint_id
+                    )
+                lineage = lineage_obj.to_dict()
                 tm["lineage_collect"] = round(time.time() - t0, 3)
 
             # shuffle.partitions can be non-numeric on some platforms
@@ -331,7 +349,13 @@ class CdcPipeline:
             )
             tm["merge"] = round(time.time() - t0, 3)
             tm["apply_batch_total"] = round(time.time() - t_batch, 3)
+            t0 = time.time()
             self._post_commit(version)
+            # post-commit (hook + scheduled maintenance) runs AFTER the
+            # apply_batch total so the multibatch attribution can separate
+            # engine maintenance from Structured Streaming machinery
+            tm["post_commit"] = round(time.time() - t0, 3)
+            self.batch_profiles = (self.batch_profiles + [dict(tm)])[-1024:]
             return version
         finally:
             grouped.unpersist()
@@ -420,6 +444,8 @@ class CdcPipeline:
             self.table.spark, feed_path, max_files_per_trigger
         )
         checkpoint_id = checkpoint_dir
+        self.batch_profiles = []
+        self.stream_progress = []
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             # foreachBatch delivers batch N only after every batch < N has
@@ -443,6 +469,15 @@ class CdcPipeline:
         query = writer.start()
         if processing_time is None:
             query.awaitTermination(timeout_sec)
+            # per-trigger duration breakdown (latestOffset / walCommit /
+            # addBatch / commitOffsets ...) — the only visibility into what
+            # Structured Streaming spends OUTSIDE apply_batch; metadata-
+            # sized and read by the multibatch attribution
+            import json as _json
+
+            self.stream_progress = [
+                _json.loads(p.json) for p in query.recentProgress
+            ]
         return query
 
 

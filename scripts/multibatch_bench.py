@@ -97,6 +97,22 @@ def main() -> None:
             )
             best = min(range(len(trials)), key=lambda i: trials[i])
             n_batches = len(eng.lineage())
+            # r6 attribution: per-batch engine phases accumulated across
+            # the LAST trial (pipeline.batch_profiles) + Structured
+            # Streaming's own per-trigger durationMs breakdown
+            # (StreamingQueryProgress) — latestOffset is the per-trigger
+            # file-source listing, walCommit/commitOffsets the checkpoint
+            # log writes, addBatch wraps the foreachBatch sink (our
+            # apply_batch + post-commit), triggerExecution the whole
+            # trigger; trigger gaps = replay wall minus triggerExecution.
+            phases: dict[str, float] = {}
+            for p in eng.pipeline.batch_profiles:
+                for k, v in p.items():
+                    phases[k] = round(phases.get(k, 0.0) + v, 3)
+            stream: dict[str, float] = {}
+            for pr in eng.pipeline.stream_progress:
+                for k, v in pr.get("durationMs", {}).items():
+                    stream[k] = round(stream.get(k, 0.0) + v / 1000.0, 3)
             out["modes"][mode] = {
                 "max_files_per_trigger": mft,
                 "n_batches": n_batches,
@@ -104,12 +120,11 @@ def main() -> None:
                 "events_per_sec": round(args.events / min(trials), 1),
                 "trials": [round(t, 3) for t in trials],
                 "final_rows": eng.read().count(),
-                # NB: pipeline.timings is reset per apply_batch call, so in
-                # multi mode these phases describe the LAST micro-batch of
-                # the best trial (a representative per-batch profile), not
-                # a whole-trial sum — the per-batch fixed cost is the
-                # derived overhead_per_batch_sec below, not total-minus-sum
-                "best_trial_phases": eng.trial_timings[best],
+                # NB: phase sums describe the LAST trial (profiles reset
+                # per replay), not the best one — a representative steady-
+                # state attribution, while replay_sec stays min-of-trials
+                "last_trial_engine_phases": phases,
+                "last_trial_stream_duration_sec": stream,
             }
             print(f"{mode}: {out['modes'][mode]}", file=sys.stderr)
 
