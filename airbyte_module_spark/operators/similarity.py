@@ -1136,39 +1136,53 @@ def near_dup_pairs_lsh(
                 }
             )
         )
-        grouped = (
-            bdf.groupBy("band", "bucket")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-            .filter(F.size("docs") > 1)
-        )
-        if max_bucket_size is not None:
-            grouped = grouped.filter(F.size("docs") <= max_bucket_size)
-        tails = grouped.select(
-            F.col("docs"), F.posexplode("docs").alias("i", "doc_a")
-        ).select(
-            "doc_a",
-            F.slice(
-                F.col("docs"), F.col("i") + F.lit(2), F.size("docs")
-            ).alias("tail"),
-        ).filter(F.size("tail") > 0)
         bc = spark.sparkContext.broadcast((ids, M, norms))
         thr = float(threshold)
+        cap = max_bucket_size
 
         def score(batches):
+            # Group, cap, pair-expand AND score inside the kernel: the
+            # repartition below co-locates each (band, bucket) group in one
+            # partition, so an in-task lexsort reproduces the former
+            # groupBy(collect_list) + posexplode/slice pair expansion
+            # exactly — ascending doc ids per bucket, every a < b pair of a
+            # surviving (1 < size <= cap) bucket once per band. Moving
+            # those stages out of Catalyst is a COMPILE-cost fix, not a
+            # row-cost fix: the ObjectHashAggregate + two Generate stages
+            # were several whole-stage-codegen units that this sandbox's
+            # throttled JIT recompiles at seconds apiece whenever a
+            # neighboring heavy query evicts them (measured: the same
+            # query steady at ~2s ran 7.7s inside the full bench, every
+            # trial paying compilation; the kernel plan is one exchange +
+            # MapInPandas).
             b_ids, B, b_norms = bc.value
             for batch in batches:
-                tl = batch["tail"]
-                if len(tl) == 0:
+                if len(batch) == 0:
                     continue
-                lens = np.fromiter(
-                    (len(t) for t in tl), dtype=np.int64, count=len(tl)
+                doc = batch["doc_id"].to_numpy().astype(np.int64)
+                band = batch["band"].to_numpy().astype(np.int64)
+                buck = batch["bucket"].to_numpy().astype(np.int64)
+                order = np.lexsort((doc, buck, band))
+                doc, band, buck = doc[order], band[order], buck[order]
+                new = np.empty(len(doc), dtype=bool)
+                new[0] = True
+                np.logical_or(
+                    band[1:] != band[:-1], buck[1:] != buck[:-1], out=new[1:]
                 )
-                a = np.repeat(
-                    batch["doc_a"].to_numpy().astype(np.int64), lens
-                )
-                b = np.concatenate([np.asarray(t) for t in tl]).astype(
-                    np.int64
-                )
+                starts = np.flatnonzero(new)
+                sizes = np.diff(np.append(starts, len(doc)))
+                a_parts, b_parts = [], []
+                for s, size in zip(starts, sizes):
+                    if size < 2 or (cap is not None and size > cap):
+                        continue
+                    members = doc[s : s + size]
+                    ii, jj = np.triu_indices(size, k=1)
+                    a_parts.append(members[ii])
+                    b_parts.append(members[jj])
+                if not a_parts:
+                    continue
+                a = np.concatenate(a_parts)
+                b = np.concatenate(b_parts)
                 ai = np.searchsorted(b_ids, a)
                 bi = np.searchsorted(b_ids, b)
                 # row-wise exact int64 dot — identical math to _dot64_arrow
@@ -1187,12 +1201,11 @@ def near_dup_pairs_lsh(
                         }
                     )
 
-        # AQE coalesces the upstream bucket agg to 1-2 partitions (the tail
-        # rows are only a few MB), which would run this CPU-heavy kernel on
-        # 1-2 cores; pin the kernel stage to cluster parallelism — the
-        # exchange moves only the small tail arrays
+        # hash-partition by (band, bucket) so each bucket group is whole
+        # within one task; what moves is the 24-byte bucket rows, and the
+        # kernel stage runs at cluster parallelism
         par = emb.sparkSession.sparkContext.defaultParallelism
-        scored = tails.repartition(par).mapInPandas(
+        scored = bdf.repartition(par, "band", "bucket").mapInPandas(
             score, schema="vec_a long, vec_b long, dot_q long, cosine double"
         )
         # cross-band duplicates carry bit-identical scores; one distinct
