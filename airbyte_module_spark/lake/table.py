@@ -247,6 +247,30 @@ class LakeTable:
         natural parallel-read split (one Flight endpoint per bucket)."""
         return sorted({e["bucket"] for e in self.current_snapshot()["entries"]})
 
+    def entry_bytes(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> int:
+        """On-disk parquet bytes of the snapshot entries serving ``buckets``
+        (all buckets when None) — an upper bound on what a read of that
+        slice returns (tombstones and LWW-superseded delta rows only
+        shrink it). Metadata-sized: one listdir per entry dir, no Spark
+        job; the Flight server uses it to pick the eager (bounded-slice)
+        read path vs the streaming iterator."""
+        snap = self.snapshot(version) if version is not None else self.current_snapshot()
+        sel = None if buckets is None else set(buckets)
+        total = 0
+        for e in snap["entries"]:
+            if sel is not None and e["bucket"] not in sel:
+                continue
+            d = os.path.join(self.path, e["dir"])
+            try:
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(d, f))
+            except OSError:
+                continue
+        return total
+
     # ----------------------------------------------------------------- write
     def _stage_write(
         self,

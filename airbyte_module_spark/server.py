@@ -97,6 +97,29 @@ def _arrow_schema(df):
     return to_arrow_schema(df.schema)
 
 
+#: Eager-read gate for bounded slices: when the snapshot metadata proves a
+#: read serves at most this many parquet bytes (LakeTable.entry_bytes — an
+#: upper bound), the server collects it with Spark's native Arrow path
+#: (``toArrow``) instead of the streaming IPC iterator. Measured on the
+#: parallel-read bench corpus (117 MB, 16 buckets): one bucket drains in
+#: 0.22s via toArrow vs 0.7s via the iterator, and 16 THREADED bucket reads
+#: go from ~9s (the toLocalIterator + per-batch Python IPC decode path
+#: serializes on the driver GIL and runs one job per partition-in-flight)
+#: to ~0.9s — the 10x that was the whole r5 "1.23x parallel speedup"
+#: ceiling. Unbounded/huge slices keep the memory-bounded iterator.
+EAGER_READ_MAX_BYTES = 128 << 20
+
+
+def _arrow_batches_eager(df, batch_rows: int | None = None):
+    """Whole-slice Arrow collect, re-sliced to the wire batch size. Only
+    for reads the caller has PROVEN bounded (see EAGER_READ_MAX_BYTES) —
+    driver memory holds the full slice (a few x the parquet bytes)."""
+    if batch_rows is None:
+        batch_rows = READ_BATCH_ROWS
+    for batch in df.toArrow().to_batches(max_chunksize=batch_rows):
+        yield batch
+
+
 def _arrow_batches(df, batch_rows: int | None = None):
     """Yield pyarrow RecordBatches of <= ``batch_rows`` rows from a DataFrame
     incrementally, Arrow-native end to end: executors serialize their own
@@ -242,6 +265,20 @@ if HAVE_FLIGHT:
                     if payload.get(k) is not None
                 }
                 df = eng.read(**kwargs)
+                # size-gated eager path: when snapshot metadata bounds the
+                # slice's bytes (per-bucket endpoints are exactly this
+                # shape), skip the streaming iterator whose per-batch
+                # Python IPC hop serializes concurrent streams on the
+                # driver GIL — see EAGER_READ_MAX_BYTES for the measured
+                # 10x on 16-way parallel bucket reads
+                if hasattr(eng, "table"):
+                    est = eng.table.entry_bytes(
+                        payload.get("buckets"), payload.get("version")
+                    )
+                    if est <= EAGER_READ_MAX_BYTES:
+                        return fl.GeneratorStream(
+                            _arrow_schema(df), _arrow_batches_eager(df)
+                        )
             return fl.GeneratorStream(_arrow_schema(df), _arrow_batches(df))
 
         # -------------------------------------------------------------- write
